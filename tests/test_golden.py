@@ -1,0 +1,223 @@
+"""Golden-model tests: internal consistency + MPEG-2 conformance via the verification
+decoder (the reference's test strategy is end-to-end decode checking, README.md:350-353;
+here the decoder is in-repo so no external player is needed)."""
+import numpy as np
+import pytest
+
+from fpga_mpeg2_encoder_tpu.config import EncoderConfig, SequenceConfig
+from fpga_mpeg2_encoder_tpu.core import tables as T
+from fpga_mpeg2_encoder_tpu.golden import encoder as G
+from fpga_mpeg2_encoder_tpu.golden import decoder as D
+
+
+def roundtrip(cfg, seq, frames, **kw):
+    stream = G.encode_sequence(cfg, seq, frames, **kw)
+    assert len(stream) % 32 == 0, "stream must be a multiple of 32 bytes"
+    assert stream[:4] == b"\x00\x00\x01\xb3"
+    dec = D.decode_sequence(stream, cfg)
+    return stream, dec
+
+
+def encoder_recons(cfg, seq, frames):
+    plan = [G.subsample_420(*f) for f in frames]
+    prev, recons, i_frame = None, [], 0
+    for planes in plan:
+        fr = G.encode_frame(cfg, *planes, prev, i_frame)
+        recons.append((fr.recon_y, fr.recon_u, fr.recon_v))
+        prev = recons[-1]
+        i_frame = 0 if i_frame >= seq.pframes_count else i_frame + 1
+    return plan, recons
+
+
+class TestTables:
+    def test_dct_matrix_orthogonality(self):
+        # DCTM ~ 181.02 * orthonormal DCT-II: M @ M.T ~ 32768 * I
+        m = T.DCTM.astype(np.float64)
+        g = m @ m.T
+        assert np.allclose(np.diag(g), 32768, atol=600)
+        off = g - np.diag(np.diag(g))
+        assert np.abs(off).max() < 600
+
+    def test_zigzag_is_permutation(self):
+        assert sorted(T.ZIGZAG_FLAT.tolist()) == list(range(64))
+
+    def test_ac_codes_prefix_free(self):
+        # all valid (code,len) pairs incl. sign bit + EOB '10' + escape prefix '000001'
+        codes = [(0b10, 2), (0b000001, 6)]
+        for r in range(32):
+            for a in range(41):
+                if T.AC_VALID[r, a]:
+                    codes.append(((int(T.AC_CODE[r, a]) << 1), int(T.AC_LEN[r, a]) + 1))
+        # run0/level1 '11s' shares prefix with nothing else; check pairwise prefix-freedom
+        as_str = sorted(format(c, f"0{l}b") for c, l in codes)
+        for s1, s2 in zip(as_str, as_str[1:]):
+            assert not s2.startswith(s1), f"{s1} prefixes {s2}"
+
+    def test_dc_tables_prefix_free(self):
+        for bits, lens in ((T.BITS_DC_Y, T.LENS_DC_Y), (T.BITS_DC_UV, T.LENS_DC_UV)):
+            as_str = sorted(format(int(b), f"0{int(l)}b") for b, l in zip(bits, lens))
+            for s1, s2 in zip(as_str, as_str[1:]):
+                assert not s2.startswith(s1)
+
+    def test_dct64_split_exact(self):
+        assert (T.DCT64_HI.astype(np.int64) * 128 + T.DCT64_LO == T.DCT64).all()
+        assert T.DCT64_LO.min() >= 0 and T.DCT64_LO.max() <= 127
+        assert np.abs(T.DCT64_HI).max() <= 62
+
+
+class TestKernelsGolden:
+    def test_fdct_is_8x_standard_dct(self, rng):
+        # orthonormal 2-D DCT-II, computed directly
+        k, n = np.mgrid[0:8, 0:8]
+        c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+        c[0] /= np.sqrt(2)
+        for _ in range(10):
+            x = rng.integers(-255, 256, (8, 8)).astype(np.int32)
+            f_ref = 8 * (c @ x @ c.T)
+            f = G.fdct(x)
+            # integer basis entries deviate up to ~1.2% from the exact cosines;
+            # two passes compound to ~2.5% relative error
+            tol = 4.0 + 0.025 * np.abs(f_ref).max()
+            assert np.abs(f - f_ref).max() < tol
+
+    def test_fdct_dc(self):
+        x = np.full((8, 8), 100, np.int32)
+        f = G.fdct(x)
+        # DC of 8x DCT of constant c block = 8 * 8c = 64c/8... exact: M@X@M.T /4096
+        expect = round(64 * 64 * 100 * 64 / 4096 / 64)  # sanity via direct formula below
+        t = T.DCTM.astype(np.int64) @ x.astype(np.int64) @ T.DCTM.astype(np.int64).T
+        r = (t >> 12) + ((t >> 11) & 1)
+        assert f[0, 0] == r[0, 0]
+        assert (f[1:, :] == 0).all() and (f[:, 1:] == 0).all()
+
+    def test_idct_inverts_fdct_approximately(self, rng):
+        for _ in range(20):
+            x = rng.integers(-200, 201, (8, 8)).astype(np.int32)
+            f = G.fdct(x)
+            # quantise/dequantise at finest level then idct: should be close to x
+            q = G.quantize(f, inter=True, q_level=1)
+            xi = G.idct(G.dequantize(q, inter=True, q_level=1))
+            assert np.abs(xi - x).max() <= 64  # coarse quantiser bound
+
+    def test_idct_zero(self):
+        assert (G.idct(np.zeros((8, 8), np.int32)) == 0).all()
+
+    def test_subsample_is_mean2_of_mean2(self):
+        # a 2x2 patch of (0,0,0,255) must give mean2(mean2(0,0), mean2(0,255)) = 64
+        u = np.zeros((2, 2), np.uint8)
+        u[1, 1] = 255
+        y = np.zeros((2, 2), np.uint8)
+        _, u420, _ = G.subsample_420(y, u, u)
+        # rows: horizontal first: row0 -> mean2(0,0)=0 ; row1 -> mean2(0,255)=128
+        # vertical: mean2(cur=128, prev=0) = 64  (not mean4(0,0,0,255)=64 here; pick
+        # asymmetric case) -- use a case where they differ:
+        u2 = np.array([[1, 0], [0, 0]], np.uint8)
+        _, u420b, _ = G.subsample_420(y, u2, u2)
+        # mean2(mean2(1,0)=1, mean2(0,0)=0) ... horizontal: row0 = mean2(1,0)=1? (1+1+0)>>1=1
+        # vertical: mean2(cur=row1=0, prev=row0=1) = (1+0+1)>>1 = 1
+        assert u420b[0, 0] == 1  # a plain mean4 would give (1+0+0+0+2)>>2 = 0
+
+    def test_find_min_10_tie_breaks(self):
+        f = G.find_min_in_10_values
+        # all equal: w89 = v8 (wi9 false since not strictly less), w89 <= both -> 8
+        assert f([5] * 10) == 8
+        assert f([5, 5, 5, 5, 5, 5, 5, 5, 5, 4]) == 9
+        assert f([4, 5, 5, 5, 5, 5, 5, 5, 5, 5]) == 0
+        assert f([5, 4, 5, 5, 5, 5, 5, 5, 5, 5]) == 1
+        assert f([5, 5, 5, 5, 4, 4, 5, 5, 5, 5]) == 4   # ties inside pair: wi5 = v5<v4 False
+        assert f([5, 5, 4, 4, 5, 5, 5, 5, 5, 5]) == 2   # wi3 False -> index 2
+        assert f([9, 9, 9, 9, 8, 9, 9, 8, 9, 9]) == 4   # x4567 tie w45 vs w67: xi67 False
+
+
+class TestStreamRoundtrip:
+    @pytest.mark.parametrize("kind", ["pan", "still", "noise"])
+    def test_recon_bit_exact(self, video_factory, kind):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=3, q_level=2)
+        seq = SequenceConfig(width=64, height=64, pframes_count=3)
+        frames = video_factory(64, 64, 5, kind)
+        _, recons = encoder_recons(cfg, seq, frames)
+        _, dec = roundtrip(cfg, seq, frames)
+        assert len(dec.pictures) == 5
+        for p, r in zip(dec.pictures, recons):
+            assert (p.y == r[0]).all() and (p.u == r[1]).all() and (p.v == r[2]).all()
+
+    @pytest.mark.parametrize("q_level", [1, 2, 3, 4])
+    def test_q_levels(self, video_factory, q_level):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=2, q_level=q_level)
+        seq = SequenceConfig(width=64, height=64, pframes_count=2)
+        frames = video_factory(64, 64, 3)
+        _, recons = encoder_recons(cfg, seq, frames)
+        _, dec = roundtrip(cfg, seq, frames)
+        for p, r in zip(dec.pictures, recons):
+            assert (p.y == r[0]).all() and (p.u == r[1]).all() and (p.v == r[2]).all()
+
+    @pytest.mark.parametrize("vl", [1, 2, 3])
+    def test_vector_levels(self, video_factory, vl):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=vl, q_level=2)
+        seq = SequenceConfig(width=80, height=64, pframes_count=4)
+        frames = video_factory(80, 64, 4)
+        _, recons = encoder_recons(cfg, seq, frames)
+        _, dec = roundtrip(cfg, seq, frames)
+        for p, r in zip(dec.pictures, recons):
+            assert (p.y == r[0]).all() and (p.u == r[1]).all() and (p.v == r[2]).all()
+
+    def test_intra_only_gop(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        seq = SequenceConfig(width=64, height=64, pframes_count=0)
+        frames = video_factory(64, 64, 3)
+        _, dec = roundtrip(cfg, seq, frames)
+        assert [p.coding_type for p in dec.pictures] == [1, 1, 1]
+
+    def test_gop_wrap(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        seq = SequenceConfig(width=64, height=64, pframes_count=2)
+        frames = video_factory(64, 64, 7)
+        _, dec = roundtrip(cfg, seq, frames)
+        assert [p.coding_type for p in dec.pictures] == [1, 2, 2, 1, 2, 2, 1]
+        assert [p.temporal_reference for p in dec.pictures] == [0, 1, 2, 0, 1, 2, 0]
+
+    def test_coincident_stop_adds_black_frame(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        seq = SequenceConfig(width=64, height=64, pframes_count=8)
+        frames = video_factory(64, 64, 3)
+        _, dec = roundtrip(cfg, seq, frames, stop_mode="coincident")
+        assert len(dec.pictures) == 4
+        last = dec.pictures[-1]
+        # black pad frame: Y~0, U~V~128 after coding loss; recon must be bit-exact though
+        assert last.y.mean() < 4 and abs(int(last.u.mean()) - 128) < 4
+
+    def test_partial_stop_pads_frame(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        seq = SequenceConfig(width=64, height=64, pframes_count=8)
+        frames = video_factory(64, 64, 3)
+        groups = 64 * 16 // 4  # one slice worth of pixel groups fed
+        _, dec = roundtrip(cfg, seq, frames, stop_mode="partial", partial_groups=groups)
+        assert len(dec.pictures) == 3
+        last = dec.pictures[-1]
+        assert last.y[32:, :].mean() < 4          # padded region black
+        assert last.y[:16, :].mean() > 8          # fed region kept
+
+    def test_psnr_reasonable_on_smooth_content(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=3, q_level=2)
+        seq = SequenceConfig(width=96, height=64, pframes_count=23)
+        frames = video_factory(96, 64, 6)
+        plan = [G.subsample_420(*f) for f in frames]
+        _, dec = roundtrip(cfg, seq, frames)
+        psnrs = []
+        for p, src in zip(dec.pictures, plan):
+            mse = ((p.y.astype(np.float64) - src[0]) ** 2).mean()
+            psnrs.append(10 * np.log10(255 ** 2 / mse))
+        assert min(psnrs) > 24, psnrs
+
+    def test_motion_vectors_found_on_pan(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=3, q_level=2)
+        frames = video_factory(96, 64, 2, kind="pan")
+        plan = [G.subsample_420(*f) for f in frames]
+        fr0 = G.encode_frame(cfg, *plan[0], None, 0)
+        fr1 = G.encode_frame(cfg, *plan[1], (fr0.recon_y, fr0.recon_u, fr0.recon_v), 1)
+        mvs = [(d.mvy, d.mvx) for row in fr1.decisions for d in row if d.inter]
+        assert mvs, "pan content should produce inter blocks"
+        # frame i crops the base at (2i,3i): content matches prev at +(2,3) full-pel,
+        # so the dominant mv (half-pel) is (+4,+6)
+        common = max(set(mvs), key=mvs.count)
+        assert common == (4, 6), common
