@@ -280,8 +280,19 @@ def _trunc(v: np.ndarray, bits: int) -> np.ndarray:
 
 
 def idct(iq: np.ndarray) -> np.ndarray:
-    """Row pass then column pass, exact truncations; output clipped to +-255."""
-    a = iq.astype(np.int64)
+    """Row pass then column pass, exact truncations; output clipped to +-255.
+
+    All intermediates are 32-bit (the RTL's regs are [31:0]) and WRAP on extreme
+    inputs - int32 two's-complement arithmetic reproduces that exactly."""
+    old = np.seterr(over="ignore")
+    try:
+        return _idct_i32(iq)
+    finally:
+        np.seterr(**old)
+
+
+def _idct_i32(iq: np.ndarray) -> np.ndarray:
+    a = iq.astype(np.int32)
     # --- rows (invserse_dct_rows_step12/34) ---
     x0, x1, x2, x3 = a[:, 0], a[:, 4], a[:, 6], a[:, 2]
     x4, x5, x6, x7 = a[:, 1], a[:, 7], a[:, 5], a[:, 3]

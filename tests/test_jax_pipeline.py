@@ -1,0 +1,123 @@
+"""JAX pipeline vs golden model: bit-exactness of every op and of full streams."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from fpga_mpeg2_encoder_tpu import Encoder, EncoderConfig, SequenceConfig
+from fpga_mpeg2_encoder_tpu.golden import encoder as G
+from fpga_mpeg2_encoder_tpu.golden import decoder as D
+from fpga_mpeg2_encoder_tpu.ops import colorspace, dct, motion
+
+
+class TestOpsVsGolden:
+    def test_subsample(self, rng):
+        y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        u = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        v = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        gy, gu, gv = G.subsample_420(y, u, v)
+        jy, ju, jv = colorspace.subsample_420(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
+        assert (np.asarray(ju) == gu).all() and (np.asarray(jv) == gv).all()
+
+    def test_fdct_exact(self, rng):
+        x = rng.integers(-255, 256, (64, 8, 8)).astype(np.int32)
+        want = np.stack([G.fdct(t) for t in x]).reshape(64, 64)
+        got = np.asarray(dct.fdct(jnp.asarray(x.reshape(64, 64))))
+        assert (want == got).all()
+
+    @pytest.mark.parametrize("q_level", [1, 2, 3, 4])
+    def test_quant_dequant_exact(self, rng, q_level):
+        f = rng.integers(-20000, 20000, (32, 8, 8)).astype(np.int32)
+        inter = rng.integers(0, 2, 32).astype(bool)
+        want_q = np.stack([G.quantize(t, bool(i), q_level) for t, i in zip(f, inter)])
+        got_q = np.asarray(dct.quantize(jnp.asarray(f.reshape(32, 64)),
+                                        jnp.asarray(inter), q_level)).reshape(32, 8, 8)
+        assert (want_q == got_q).all()
+        want_d = np.stack([G.dequantize(t, bool(i), q_level) for t, i in zip(want_q, inter)])
+        got_d = np.asarray(dct.dequantize(jnp.asarray(want_q.reshape(32, 64)),
+                                          jnp.asarray(inter), q_level)).reshape(32, 8, 8)
+        assert (want_d == got_d).all()
+
+    def test_idct_exact(self, rng):
+        iq = rng.integers(-2047, 2048, (128, 8, 8)).astype(np.int32)
+        want = np.stack([G.idct(t) for t in iq])
+        got = np.asarray(dct.idct(jnp.asarray(iq.reshape(128, 64)))).reshape(128, 8, 8)
+        assert (want == got).all()
+
+    @pytest.mark.parametrize("vl", [1, 3])
+    def test_motion_exact(self, video_factory, vl):
+        cfg = EncoderConfig(xl=4, yl=4, vector_level=vl)
+        frames = video_factory(96, 64, 2, kind="pan")
+        p0 = G.subsample_420(*frames[0])
+        p1 = G.subsample_420(*frames[1])
+        fr0 = G.encode_frame(cfg, *p0, None, 0)
+        prev = (fr0.recon_y, fr0.recon_u, fr0.recon_v)
+        mr = motion.estimate_and_predict(
+            jnp.asarray(p1[0]), jnp.asarray(p1[1]), jnp.asarray(p1[2]),
+            jnp.asarray(prev[0]), jnp.asarray(prev[1]), jnp.asarray(prev[2]),
+            jnp.asarray(False), cfg.yr, cfg.ur)
+        nby, nbx = 4, 6
+        for by in range(nby):
+            for bx in range(nbx):
+                dec = G.motion_estimate_block(
+                    cfg, p1[0][by*16:by*16+16, bx*16:bx*16+16], np.pad(prev[0], cfg.yr+1),
+                    by, bx, nby, nbx, False)
+                assert bool(mr.inter[by, bx]) == dec.inter, (by, bx)
+                if dec.inter:
+                    assert int(mr.mvx[by, bx]) == dec.mvx, (by, bx)
+                    assert int(mr.mvy[by, bx]) == dec.mvy, (by, bx)
+                yp, up, vp = G.predict_block(cfg, dec, np.pad(prev[0], cfg.yr+1),
+                                             np.pad(prev[1], cfg.ur+1),
+                                             np.pad(prev[2], cfg.ur+1), by, bx)
+                assert (np.asarray(mr.pred_y[by, bx]) == yp).all(), (by, bx)
+                assert (np.asarray(mr.pred_u[by, bx]) == up).all(), (by, bx)
+                assert (np.asarray(mr.pred_v[by, bx]) == vp).all(), (by, bx)
+
+
+class TestFullStream:
+    @pytest.mark.parametrize("kind", ["pan", "noise"])
+    def test_stream_bit_exact_vs_golden(self, video_factory, kind):
+        cfg = EncoderConfig(xl=5, yl=5, vector_level=3, q_level=2)
+        frames = video_factory(96, 64, 5, kind=kind)
+        seq = SequenceConfig(96, 64, 3)
+        gold = G.encode_sequence(cfg, seq, frames)
+        got = Encoder(cfg).encode(frames, 96, 64, pframes_count=3)
+        assert gold == got
+
+    @pytest.mark.parametrize("q_level,vl", [(1, 1), (4, 2), (2, 3)])
+    def test_stream_bit_exact_configs(self, video_factory, q_level, vl):
+        cfg = EncoderConfig(xl=5, yl=5, vector_level=vl, q_level=q_level)
+        frames = video_factory(80, 64, 4)
+        seq = SequenceConfig(80, 64, 23)
+        gold = G.encode_sequence(cfg, seq, frames)
+        got = Encoder(cfg).encode(frames, 80, 64)
+        assert gold == got
+
+    def test_stream_decodes(self, video_factory):
+        cfg = EncoderConfig(xl=5, yl=5)
+        frames = video_factory(96, 80, 4)
+        stream = Encoder(cfg).encode(frames, 96, 80, pframes_count=2)
+        dec = D.decode_sequence(stream, cfg)
+        assert len(dec.pictures) == 4
+        assert [p.coding_type for p in dec.pictures] == [1, 2, 2, 1]
+
+    def test_stop_modes_match_golden(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        frames = video_factory(64, 64, 2)
+        seq = SequenceConfig(64, 64, 5)
+        for mode, pg in (("coincident", 0), ("partial", 64 * 16 // 4)):
+            gold = G.encode_sequence(cfg, seq, frames, stop_mode=mode, partial_groups=pg)
+            got = Encoder(cfg).encode(frames, 64, 64, 5, stop_mode=mode, partial_groups=pg)
+            assert gold == got, mode
+
+    def test_multi_sequence_reuse(self, video_factory):
+        enc = Encoder(EncoderConfig(xl=5, yl=5))
+        f1 = video_factory(64, 64, 2)
+        f2 = video_factory(96, 64, 2)
+        s1 = enc.encode(f1, 64, 64, 1)
+        s2 = enc.encode(f2, 96, 64, 1)
+        assert s1[:4] == b"\x00\x00\x01\xb3" and s2[:4] == b"\x00\x00\x01\xb3"
+        g1 = G.encode_sequence(EncoderConfig(xl=5, yl=5), SequenceConfig(64, 64, 1), f1)
+        g2 = G.encode_sequence(EncoderConfig(xl=5, yl=5), SequenceConfig(96, 64, 1), f2)
+        assert s1 == g1 and s2 == g2
