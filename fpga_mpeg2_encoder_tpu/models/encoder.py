@@ -56,17 +56,14 @@ def _untile_y(t4: jnp.ndarray) -> jnp.ndarray:
     return t4.reshape(nby, nbx, 2, 2, 8, 8).transpose(0, 1, 2, 4, 3, 5).reshape(nby, nbx, 16, 16)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("yr", "ur", "q_level", "words_per_slice"),
-    donate_argnames=("prev_y", "prev_u", "prev_v"),
-)
-def encode_frame_device(
+def encode_frame_core(
     y444: jnp.ndarray, u444: jnp.ndarray, v444: jnp.ndarray,   # (H, W) uint8
     prev_y: jnp.ndarray, prev_u: jnp.ndarray, prev_v: jnp.ndarray,
     i_frame: jnp.ndarray,                                      # scalar int32
     *, yr: int, ur: int, q_level: int, words_per_slice: int,
 ):
+    """Un-jitted single-frame pipeline; vmap-able over a leading stream axis for
+    data-parallel multi-stream encoding (parallel/dp.py)."""
     y, u, v = colorspace.subsample_420(y444, u444, v444)
     mr = motion.estimate_and_predict(y, u, v, prev_y, prev_u, prev_v,
                                      i_frame == 0, yr, ur)
@@ -94,6 +91,13 @@ def encode_frame_device(
         quant4, mr.inter, mr.mvx, mr.mvy, i_frame, q_level)
     packed = entropy.pack_slices(codes, lens, words_per_slice)
     return recon_y, recon_u, recon_v, packed.words, packed.nbits
+
+
+encode_frame_device = jax.jit(
+    encode_frame_core,
+    static_argnames=("yr", "ur", "q_level", "words_per_slice"),
+    donate_argnames=("prev_y", "prev_u", "prev_v"),
+)
 
 
 class Encoder:
@@ -160,9 +164,17 @@ class Encoder:
             yr=self.config.yr, ur=self.config.ur,
             q_level=self.config.q_level, words_per_slice=self._wps)
         self._prev = (ry, ru, rv)
-        self._emit_frame_bits(np.asarray(words), np.asarray(nbits))
+        # one-frame pipelining: assemble frame k's bytes while the device runs k+1
+        self._drain_pending()
+        self._pending = (self._i_frame, words, nbits)
         self._i_frame = 0 if self._i_frame >= seq.pframes_count else self._i_frame + 1
         self._frame_no += 1
+
+    def _drain_pending(self) -> None:
+        if getattr(self, "_pending", None) is not None:
+            i_frame, words, nbits = self._pending
+            self._pending = None
+            self._emit_frame_bits(np.asarray(words), np.asarray(nbits), i_frame)
 
     def finish(self, stop_mode: str = "clean") -> bytes:
         """End the sequence (i_sequence_stop semantics) and return the stream."""
@@ -174,6 +186,7 @@ class Encoder:
             black = (np.zeros((h, w), np.uint8), np.full((h, w), 128, np.uint8),
                      np.full((h, w), 128, np.uint8))
             self.push_frame(*black)
+        self._drain_pending()
         bw = BitWriter()
         bw.put_chunks(SEQUENCE_END_CHUNKS)
         self._payload.append(bw.to_bytes_aligned())
@@ -189,6 +202,7 @@ class Encoder:
         self._writer = None
         self._payload = []
         self._prev = None
+        self._pending = None
         self._i_frame = 0
         self._frame_no = 0
         self._tc = [0, 0, 0, 0]     # hour, minute, second, insec
@@ -198,12 +212,13 @@ class Encoder:
             raise RuntimeError("no active sequence; call start_sequence() first")
         return self._seq
 
-    def _emit_frame_bits(self, words: np.ndarray, nbits: np.ndarray) -> None:
+    def _emit_frame_bits(self, words: np.ndarray, nbits: np.ndarray,
+                         i_frame: int) -> None:
         bw = BitWriter()
-        if self._i_frame == 0:
+        if i_frame == 0:
             h, m, s, f = self._tc
             bw.put_chunks(gop_header_chunks(h, m, s, f))
-        bw.put_chunks(picture_header_chunks(self._i_frame))
+        bw.put_chunks(picture_header_chunks(i_frame))
         self._payload.append(bw.to_bytes_aligned())
         # timecode ticks once per frame (RTL:2684-2698)
         tc = self._tc
