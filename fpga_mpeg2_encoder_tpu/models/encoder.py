@@ -3,14 +3,20 @@
 Pipeline per frame (one XLA program, all macroblocks batched):
   4:2:0 subsample -> motion estimation + prediction -> residual -> exact 64x64 DCT
   matmul (MXU) -> quantise -> dequantise -> Chen-Wang IDCT (VPU) -> reconstruct ->
-  zigzag/VLC symbolise -> parallel bit-pack per slice.
+  zigzag/VLC symbolise (gather-free one-hot lookups) -> barrel-merge bit packing
+  into ONE byte-aligned frame payload, GOP/picture headers included (device-side
+  timecode).  The host only prepends the per-sequence header bytes and appends the
+  end code - the bitstream never touches the host until it is final bytes.
 
 The only sequential dependency is frame order (P-frames predict from the previous
 frame's reconstruction, the loop the reference closes through mem_ref_Y/UV,
 RTL/mpeg2encoder.v:2418-2424 -> 1387-1390); here it is an explicit prev/cur buffer
-swap with donated device buffers.
+swap, or a lax.scan carry in the device-resident multi-frame path.
 
-Host work per frame: tiny header bytes + concatenating byte-aligned slice blobs.
+Packing buffers are sized by a configurable budget (default 256 KB/frame) with
+exact overflow detection; an overflowing frame is transparently re-encoded with
+worst-case buffers (a frame cannot exceed ~1.2 KB per macroblock even with every
+coefficient escape-coded).
 """
 from __future__ import annotations
 
@@ -24,12 +30,13 @@ import numpy as np
 from ..config import EncoderConfig, SequenceConfig
 from ..core.bitstream import (
     BitWriter,
-    gop_header_chunks,
-    picture_header_chunks,
     sequence_header_chunks,
     SEQUENCE_END_CHUNKS,
 )
-from ..ops import colorspace, dct, entropy, motion
+from ..ops import bitpack, colorspace, dct, entropy, motion
+
+DEFAULT_ROW_CAP = 2048       # words/slice budget (8 KB)
+DEFAULT_FRAME_CAP = 65536    # words/frame budget (256 KB)
 
 
 def _blockify(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -51,7 +58,6 @@ def _tiles(yb: jnp.ndarray, ub: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _untile_y(t4: jnp.ndarray) -> jnp.ndarray:
-    """(nby,nbx,4,64) -> (nby,nbx,16,16)."""
     nby, nbx = t4.shape[:2]
     return t4.reshape(nby, nbx, 2, 2, 8, 8).transpose(0, 1, 2, 4, 3, 5).reshape(nby, nbx, 16, 16)
 
@@ -60,10 +66,11 @@ def encode_frame_core(
     y444: jnp.ndarray, u444: jnp.ndarray, v444: jnp.ndarray,   # (H, W) uint8
     prev_y: jnp.ndarray, prev_u: jnp.ndarray, prev_v: jnp.ndarray,
     i_frame: jnp.ndarray,                                      # scalar int32
-    *, yr: int, ur: int, q_level: int, words_per_slice: int,
+    frame_no: jnp.ndarray,                                     # scalar int32 (timecode)
+    *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int,
 ):
-    """Un-jitted single-frame pipeline; vmap-able over a leading stream axis for
-    data-parallel multi-stream encoding (parallel/dp.py)."""
+    """Un-jitted single-frame pipeline.  Returns (recon_y, recon_u, recon_v,
+    frame_words (frame_cap,) uint32, frame_bits, overflow flag)."""
     y, u, v = colorspace.subsample_420(y444, u444, v444)
     mr = motion.estimate_and_predict(y, u, v, prev_y, prev_u, prev_v,
                                      i_frame == 0, yr, ur)
@@ -86,18 +93,60 @@ def encode_frame_core(
     recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
     recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
 
-    quant4 = q.reshape(nby, nbx, 6, 64)
-    codes, lens, _cbp = entropy.symbolize_frame(
-        quant4, mr.inter, mr.mvx, mr.mvy, i_frame, q_level)
-    packed = entropy.pack_slices(codes, lens, words_per_slice)
-    return recon_y, recon_u, recon_v, packed.words, packed.nbits
+    sym = entropy.symbolize_frame(q.reshape(nby, nbx, 6, 64), mr.inter,
+                                  mr.mvx, mr.mvy, i_frame, frame_no, q_level)
+    row_words, row_bits = bitpack.pack_symbols(sym.codes, sym.lens, row_cap)
+    row_bits_a = bitpack.align_bytes(row_bits)
+    fwords, fbits = bitpack.merge_rows(row_words, row_bits_a, frame_cap)
+    overflow = (row_bits > 32 * row_cap).any() | (fbits > 32 * frame_cap)
+    return recon_y, recon_u, recon_v, fwords, fbits, overflow
 
 
 encode_frame_device = jax.jit(
     encode_frame_core,
-    static_argnames=("yr", "ur", "q_level", "words_per_slice"),
-    donate_argnames=("prev_y", "prev_u", "prev_v"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap"),
 )
+
+
+def encode_gop_scan_core(
+    frames_y: jnp.ndarray, frames_u: jnp.ndarray, frames_v: jnp.ndarray,  # (F, H, W)
+    prev_y: jnp.ndarray, prev_u: jnp.ndarray, prev_v: jnp.ndarray,
+    i_frame0: jnp.ndarray, frame_no0: jnp.ndarray,
+    pframes_count: jnp.ndarray,
+    *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
+):
+    """Device-resident multi-frame encode: lax.scan over frames, accumulating the
+    packed payload in one HBM buffer.  One upload of the frame stack, one download
+    of the payload - the host link is touched twice per chunk, not per frame."""
+    f = frames_y.shape[0]
+
+    def body(carry, xs):
+        py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
+        yy, uu, vv = xs
+        ry, ru, rv, fw, fb, o = encode_frame_core(
+            yy, uu, vv, py, pu, pv, i_f, fno,
+            yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap)
+        seq_w, seq_b = bitpack.concat_bitstrings(seq_w, seq_b, fw, fb, seq_cap)
+        i_f = jnp.where(i_f >= pframes_count, 0, i_f + 1)
+        return (ry, ru, rv, seq_w, seq_b, i_f, fno + 1, ovf | o), None
+
+    seq_w0 = jnp.zeros((seq_cap,), jnp.uint32)
+    carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.int32(0),
+              i_frame0, frame_no0, jnp.asarray(False))
+    carry, _ = jax.lax.scan(body, carry0, (frames_y, frames_u, frames_v), length=f)
+    py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
+    ovf = ovf | (seq_b > 32 * seq_cap)
+    return py, pu, pv, seq_w, seq_b, i_f, fno, ovf
+
+
+encode_gop_scan = jax.jit(
+    encode_gop_scan_core,
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap"),
+)
+
+
+def words_to_bytes(words: np.ndarray, nbits: int) -> bytes:
+    return words.astype(">u4").tobytes()[: (nbits + 7) // 8]
 
 
 class Encoder:
@@ -106,10 +155,20 @@ class Encoder:
     API mirrors the reference module contract (RTL/mpeg2encoder.v:10-38):
     construction-time quality/range knobs, per-sequence size/GOP configuration,
     multi-sequence reuse after each ``encode``/``finish``.
+
+    Two operating modes:
+    * streaming (``start_sequence``/``push_frame``/``finish``): one device step per
+      frame, payload bytes downloaded per frame;
+    * chunked (``encode`` with ``chunk_frames > 1``): frames are staged on device
+      and encoded by a lax.scan, with one payload download per chunk - the
+      high-throughput path.
     """
 
-    def __init__(self, config: EncoderConfig = EncoderConfig()):
+    def __init__(self, config: EncoderConfig = EncoderConfig(),
+                 row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP):
         self.config = config
+        self.row_cap = row_cap
+        self.frame_cap = frame_cap
         self._seq: Optional[SequenceConfig] = None
         self._reset_sequence_state()
 
@@ -122,10 +181,19 @@ class Encoder:
         pframes_count: int = 23,
         stop_mode: str = "clean",
         partial_groups: int = 0,
+        chunk_frames: int = 1,
     ) -> bytes:
         """Encode a full sequence of YUV 4:4:4 frames to an MPEG-2 elementary stream."""
         self.start_sequence(SequenceConfig(width, height, pframes_count))
         last = len(frames444) - 1
+        if chunk_frames > 1:
+            fixed = list(frames444)
+            if stop_mode == "partial":
+                fixed[last] = self._pad_partial(fixed[last], partial_groups)
+            for i in range(0, len(fixed), chunk_frames):
+                self.push_chunk(fixed[i:i + chunk_frames])
+            return self.finish(stop_mode="coincident" if stop_mode == "coincident"
+                               else "clean")
         for idx, f in enumerate(frames444):
             if stop_mode == "partial" and idx == last:
                 self.push_frame(*self._pad_partial(f, partial_groups))
@@ -139,42 +207,69 @@ class Encoder:
             raise RuntimeError("sequence already active; call finish() first")
         seq = seq.validate(self.config)
         self._seq = seq
-        self._writer = BitWriter()
-        self._writer.put_chunks(sequence_header_chunks(seq.width, seq.height))
-        self._payload: List[bytes] = [self._writer.to_bytes_aligned()]
+        bw = BitWriter()
+        bw.put_chunks(sequence_header_chunks(seq.width, seq.height))
+        self._payload: List[bytes] = [bw.to_bytes_aligned()]
         self._i_frame = 0
         self._frame_no = 0
         self._prev = None
-        wps = entropy.words_per_slice_bound(seq.mb_cols)
-        self._wps = wps
+
+    def _zero_prev(self):
+        seq = self._seq
+        z = np.zeros((seq.height, seq.width), np.uint8)
+        zc = np.zeros((seq.height // 2, seq.width // 2), np.uint8)
+        return (jnp.asarray(z), jnp.asarray(zc), jnp.asarray(zc))
 
     def push_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
-        """Feed one YUV 4:4:4 frame (uint8 (H, W) planes). Streaming: device work is
-        dispatched asynchronously; the stream bytes are assembled as results land."""
+        """Feed one YUV 4:4:4 frame (uint8 (H, W) planes)."""
         seq = self._require_seq()
         if y.shape != (seq.height, seq.width):
             raise ValueError(f"frame shape {y.shape} != {(seq.height, seq.width)}")
         if self._prev is None:
-            z = np.zeros((seq.height, seq.width), np.uint8)
-            zc = np.zeros((seq.height // 2, seq.width // 2), np.uint8)
-            self._prev = (jnp.asarray(z), jnp.asarray(zc), jnp.asarray(zc))
-        ry, ru, rv, words, nbits = encode_frame_device(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            *self._prev, jnp.int32(self._i_frame),
-            yr=self.config.yr, ur=self.config.ur,
-            q_level=self.config.q_level, words_per_slice=self._wps)
+            self._prev = self._zero_prev()
+        kw = dict(yr=self.config.yr, ur=self.config.ur, q_level=self.config.q_level)
+        args = (jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *self._prev,
+                jnp.int32(self._i_frame), jnp.int32(self._frame_no))
+        ry, ru, rv, fw, fb, ovf = encode_frame_device(
+            *args, **kw, row_cap=self.row_cap, frame_cap=self.frame_cap)
+        if bool(ovf):
+            # rare: frame exceeded the budget caps; redo with worst-case buffers
+            ry, ru, rv, fw, fb, ovf = encode_frame_device(
+                *args, **kw,
+                row_cap=entropy.slice_words_bound(seq.mb_cols),
+                frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows))
+            assert not bool(ovf)
         self._prev = (ry, ru, rv)
-        # one-frame pipelining: assemble frame k's bytes while the device runs k+1
-        self._drain_pending()
-        self._pending = (self._i_frame, words, nbits)
+        self._payload.append(words_to_bytes(np.asarray(fw), int(fb)))
         self._i_frame = 0 if self._i_frame >= seq.pframes_count else self._i_frame + 1
         self._frame_no += 1
 
-    def _drain_pending(self) -> None:
-        if getattr(self, "_pending", None) is not None:
-            i_frame, words, nbits = self._pending
-            self._pending = None
-            self._emit_frame_bits(np.asarray(words), np.asarray(nbits), i_frame)
+    def push_chunk(self, frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+                   ) -> None:
+        """Feed several frames at once; encoded by one device-resident scan."""
+        seq = self._require_seq()
+        if self._prev is None:
+            self._prev = self._zero_prev()
+        fy = jnp.asarray(np.stack([f[0] for f in frames]))
+        fu = jnp.asarray(np.stack([f[1] for f in frames]))
+        fv = jnp.asarray(np.stack([f[2] for f in frames]))
+        kw = dict(yr=self.config.yr, ur=self.config.ur, q_level=self.config.q_level)
+        caps = dict(row_cap=self.row_cap, frame_cap=self.frame_cap,
+                    seq_cap=self.frame_cap * max(1, len(frames) // 4))
+        args = (fy, fu, fv, *self._prev, jnp.int32(self._i_frame),
+                jnp.int32(self._frame_no), jnp.int32(seq.pframes_count))
+        ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gop_scan(*args, **kw, **caps)
+        if bool(ovf):
+            caps = dict(row_cap=entropy.slice_words_bound(seq.mb_cols),
+                        frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
+                        seq_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows)
+                        * len(frames))
+            ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gop_scan(*args, **kw, **caps)
+            assert not bool(ovf)
+        self._prev = (ry, ru, rv)
+        self._payload.append(words_to_bytes(np.asarray(sw), int(sb)))
+        self._i_frame = int(i_f)
+        self._frame_no = int(fno)
 
     def finish(self, stop_mode: str = "clean") -> bytes:
         """End the sequence (i_sequence_stop semantics) and return the stream."""
@@ -186,7 +281,6 @@ class Encoder:
             black = (np.zeros((h, w), np.uint8), np.full((h, w), 128, np.uint8),
                      np.full((h, w), 128, np.uint8))
             self.push_frame(*black)
-        self._drain_pending()
         bw = BitWriter()
         bw.put_chunks(SEQUENCE_END_CHUNKS)
         self._payload.append(bw.to_bytes_aligned())
@@ -199,46 +293,15 @@ class Encoder:
 
     # ----------------------------------------------------------------- internals
     def _reset_sequence_state(self) -> None:
-        self._writer = None
         self._payload = []
         self._prev = None
-        self._pending = None
         self._i_frame = 0
         self._frame_no = 0
-        self._tc = [0, 0, 0, 0]     # hour, minute, second, insec
 
     def _require_seq(self) -> SequenceConfig:
         if self._seq is None:
             raise RuntimeError("no active sequence; call start_sequence() first")
         return self._seq
-
-    def _emit_frame_bits(self, words: np.ndarray, nbits: np.ndarray,
-                         i_frame: int) -> None:
-        bw = BitWriter()
-        if i_frame == 0:
-            h, m, s, f = self._tc
-            bw.put_chunks(gop_header_chunks(h, m, s, f))
-        bw.put_chunks(picture_header_chunks(i_frame))
-        self._payload.append(bw.to_bytes_aligned())
-        # timecode ticks once per frame (RTL:2684-2698)
-        tc = self._tc
-        tc[3] += 1
-        if tc[3] == 24:
-            tc[3] = 0
-            tc[2] += 1
-            if tc[2] == 60:
-                tc[2] = 0
-                tc[1] += 1
-                if tc[1] == 60:
-                    tc[1] = 0
-                    if tc[0] < 63:
-                        tc[0] += 1
-        be = words.astype(">u4").tobytes()
-        wps_bytes = words.shape[1] * 4
-        for s_idx in range(words.shape[0]):
-            n = (int(nbits[s_idx]) + 7) // 8
-            start = s_idx * wps_bytes
-            self._payload.append(be[start:start + n])
 
     def _pad_partial(self, frame, partial_groups: int):
         seq = self._require_seq()

@@ -1,0 +1,142 @@
+"""Parallel variable-length bit packing as a barrel-shift merge tree.
+
+TPU-first design
+----------------
+The reference packs bits serially, 170 bits/cycle through a shift register
+(RTL/mpeg2encoder.v:2879-2956).  Scatter-based packing (offset prefix-sum + two
+scatter-adds per symbol) is the GPU idiom but TPU scatters serialise (~5 ns/elem).
+Instead we pack by *associative reduction*: a bit-string with an explicit length is
+a monoid under concatenation, so symbols merge pairwise in log2(S) levels.  Each
+merge is vectorised word arithmetic:
+
+  concat(A, B):  shift B right by len(A) bits = an elementwise funnel shift by
+  (len & 31) plus a word-offset rotation by (len >> 5), done as a log2(C)-step
+  barrel shifter of STATIC shifts selected by the offset's bits - no gather, no
+  scatter, pure VPU.
+
+Invariant: buffers are left-justified, zero-filled beyond their length, so OR is
+concatenation.  Everything also byte-aligns for free (lengths rounded up to 8 with
+zero padding already in place), reproducing the stage-V alignment rule
+(RTL:2940-2943).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift_words_right(x: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Shift along the last (word) axis by a static t words, filling zeros."""
+    if t == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(t, 0)]
+    return jnp.pad(x, pad)[..., :x.shape[-1]]
+
+
+def _funnel_shift(b: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+    """Shift the bit-string b (words on last axis) right by `bits` (0..31 per node)."""
+    s = (bits & 31).astype(jnp.uint32)[..., None]
+    prev = _shift_words_right(b, 1)
+    lo = b >> s
+    hi = jnp.where(s > 0, prev << ((32 - s) & 31), jnp.uint32(0))
+    return jnp.where(s > 0, lo | hi, b)
+
+
+def _word_barrel(b: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
+    """Shift right by a dynamic per-node word count via log2 static steps."""
+    c = b.shape[-1]
+    j = 0
+    while (1 << j) < c + 1:
+        take = ((words >> j) & 1).astype(bool)[..., None]
+        b = jnp.where(take, _shift_words_right(b, 1 << j), b)
+        j += 1
+    return b
+
+
+def concat_bitstrings(a: jnp.ndarray, bl_a: jnp.ndarray,
+                      b: jnp.ndarray, bl_b: jnp.ndarray,
+                      out_words: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate left-justified bit-strings: (..., Ca)+(..., Cb) -> (..., out_words).
+
+    Content beyond out_words*32 bits is silently dropped (callers size for the
+    worst case or detect overflow from the returned lengths)."""
+    ca, cb = a.shape[-1], b.shape[-1]
+    pad_a = [(0, 0)] * (a.ndim - 1) + [(0, out_words - ca)]
+    a2 = jnp.pad(a, pad_a) if out_words > ca else a[..., :out_words]
+    pad_b = [(0, 0)] * (b.ndim - 1) + [(0, out_words - cb)]
+    b2 = jnp.pad(b, pad_b) if out_words > cb else b[..., :out_words]
+    b2 = _funnel_shift(b2, bl_a)
+    b2 = _word_barrel(b2, (bl_a >> 5).astype(jnp.int32))
+    return a2 | b2, bl_a + bl_b
+
+
+def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack rows of (<=24-bit code, len) symbols into left-justified bit-strings.
+
+    codes/lens: (..., S) -> (words (..., cap_words) uint32, bits (...,) int32).
+    """
+    s = codes.shape[-1]
+    s_pad = 1 << max(1, (s - 1).bit_length())
+    pad = [(0, 0)] * (codes.ndim - 1) + [(0, s_pad - s)]
+    c = jnp.pad(codes.astype(jnp.uint32), pad)
+    l = jnp.pad(lens.astype(jnp.int32), pad)
+
+    # level 0: one word per symbol, left-justified
+    sh = jnp.clip(32 - l, 0, 31).astype(jnp.uint32)
+    buf = jnp.where(l > 0, c << sh, jnp.uint32(0))[..., None]   # (..., S, 1)
+    bl = l
+
+    m = s_pad
+    level = 0
+    while m > 1:
+        m //= 2
+        level += 1
+        # nodes at this level cover 2**level input symbols of <=24 bits each
+        need = (24 * (1 << level) + 31) // 32
+        w = min(need, 2 * buf.shape[-1], cap_words)
+        a, la = buf[..., 0::2, :], bl[..., 0::2]
+        b, lb = buf[..., 1::2, :], bl[..., 1::2]
+        buf, bl = concat_bitstrings(a, la, b, lb, w)
+    return buf[..., 0, :], bl[..., 0]
+
+
+def align_bytes(bits: jnp.ndarray) -> jnp.ndarray:
+    """Round bit-lengths up to a byte boundary (zero padding is already present)."""
+    return (bits + 7) & ~7
+
+
+def merge_rows(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate R left-justified bit-strings (rows) into one: (R, C) -> (cap,).
+
+    Used for slice rows -> frame payload and frame payloads -> sequence payload;
+    rows are byte-aligned by the caller so start-code alignment is preserved."""
+    r, c = words.shape[-2], words.shape[-1]
+    r_pad = 1 << max(1, (r - 1).bit_length())
+    if r_pad != r:
+        pad = [(0, 0)] * (words.ndim - 2) + [(0, r_pad - r), (0, 0)]
+        words = jnp.pad(words, pad)
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, r_pad - r)])
+    buf, bl = words, bits
+    m = r_pad
+    while m > 1:
+        m //= 2
+        w = min(2 * buf.shape[-1], cap_words)
+        buf, bl = concat_bitstrings(buf[..., 0::2, :], bl[..., 0::2],
+                                    buf[..., 1::2, :], bl[..., 1::2], w)
+    return buf[..., 0, :], bl[..., 0]
+
+
+def pack_frame(codes: jnp.ndarray, lens: jnp.ndarray,
+               row_cap_words: int, frame_cap_words: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack a frame's (R, S) symbol slot grid into one byte-aligned bit-string.
+
+    Each row (header group or slice) is packed independently and byte-aligned
+    (start codes must begin on byte boundaries, RTL:2940-2943), then rows merge
+    in a log2(R) tree."""
+    w, b = pack_symbols(codes, lens, row_cap_words)
+    return merge_rows(w, align_bytes(b), frame_cap_words)

@@ -1,12 +1,12 @@
-"""Vectorised entropy coding: VLC symbolisation + on-device bit packing.
+"""Vectorised entropy coding: VLC symbolisation on TPU, gather-free.
 
 TPU-first design
 ----------------
 The reference emits symbols serially through a 7-chunk-per-cycle FSM
 (RTL/mpeg2encoder.v:2476-2956).  The sequential state it carries - per-slice DC
 predictors, per-slice MV predictors, per-tile run lengths - is *linear*: every
-predictor is a function of the previous macroblock's outputs only, never of the
-emitted bits.  So the whole frame symbolises in parallel:
+predictor depends on the previous macroblock's outputs only, never on emitted bits.
+So the whole frame symbolises in parallel:
 
 * DC prediction   : published[t] = inter ? 0 : dc[t]; pred = shift-by-one within the
                     slice (RTL:2781-2792) - a roll, not a scan.
@@ -15,16 +15,21 @@ emitted bits.  So the whole frame symbolises in parallel:
 * run lengths     : prev-nonzero index via cumulative max over the zig order
                     (incl. the inter-DC-zero counts-as-run rule, RTL:2795-2834).
 
-Every symbol becomes a (code, len<=24) pair in a fixed slot grid
-(4 + 6*65 slots/MB, len 0 = absent), then a parallel prefix-sum of lengths gives
-each symbol its bit offset and two scatter-adds splice all symbols into 32-bit
-words.  Slices are byte-aligned by construction (slice payloads are packed
-independently and concatenated on the host at byte granularity), reproducing the
-stage-V alignment rule (RTL:2940-2943).
+VLC tables are applied WITHOUT gathers (TPU gathers run ~9 ns/elem and compile
+poorly): every data-dependent lookup is a one-hot einsum on the MXU.  Table values
+are stored as bf16 byte-planes (each 0..255, exactly representable), contracted
+against an exact 0/1 one-hot, accumulated in f32 - bit-exact by construction.
+The 111-entry B.14 run/level table is first compacted through a 5-case perfect
+key in [0, 192); everything outside it is the 24-bit escape, computed
+arithmetically (RTL:2541-2543).
+
+Output is a slot grid - (2 + mb_rows) rows x S slots of (code<=24b, len) - with
+GOP/picture headers as device-computed rows (timecode from the frame counter,
+RTL:2684-2698), ready for the barrel-merge bit packer (ops/bitpack.py).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,52 +38,131 @@ import numpy as np
 from ..core import tables as T
 
 SLOTS_PER_MB = 4 + 6 * 65
+HEADER_ROWS = 2           # row 0: GOP header, row 1: picture header
 _ZIG_INV = jnp.asarray(T.ZIGZAG_INV)
-_AC_CODE = jnp.asarray(T.AC_CODE.astype(np.uint32))
-_AC_LEN = jnp.asarray(T.AC_LEN)
-_AC_VALID = jnp.asarray(T.AC_VALID)
-_MV_BITS = jnp.asarray(T.BITS_MOTION_VECTOR.astype(np.uint32))
-_MV_LENS = jnp.asarray(T.LENS_MOTION_VECTOR)
-_CBP_BITS = jnp.asarray(T.BITS_NZ_FLAGS.astype(np.uint32))
-_CBP_LENS = jnp.asarray(T.LENS_NZ_FLAGS)
-_DCY_BITS = jnp.asarray(T.BITS_DC_Y.astype(np.uint32))
-_DCY_LENS = jnp.asarray(T.LENS_DC_Y)
-_DCUV_BITS = jnp.asarray(T.BITS_DC_UV.astype(np.uint32))
-_DCUV_LENS = jnp.asarray(T.LENS_DC_UV)
 
 
-class PackedSlices(NamedTuple):
-    words: jnp.ndarray     # (nby, words_per_slice) uint32, big-endian bit order
-    nbits: jnp.ndarray     # (nby,) int32 valid bits per slice
+def _onehot_lookup(idx: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
+    """Exact table lookup via one-hot matmul: idx int32 in [0, K) -> int32 values.
+
+    table: numpy int array, values < 2**24, K rows."""
+    k = table.shape[0]
+    planes = np.stack([table & 255, (table >> 8) & 255, (table >> 16) & 255],
+                      axis=1).astype(np.float32)
+    tab = jnp.asarray(planes, dtype=jnp.bfloat16)           # (K, 3)
+    oh = (idx[..., None] == jnp.arange(k)).astype(jnp.bfloat16)
+    r = jax.lax.dot_general(oh, tab, (((oh.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(jnp.int32)
+    return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16)
 
 
-def _ac_symbol(v: jnp.ndarray, run: jnp.ndarray):
-    """put_AC (RTL:2525-2547) for v != 0; returns (code uint32, len int32)."""
+# ---------------------------------------------------------------------------
+# compact AC key: perfect map of B.14's 111 valid (run, am1) pairs into [0, 192)
+# ---------------------------------------------------------------------------
+_AC_K = 192
+
+
+def _build_ac_table() -> np.ndarray:
+    tab = np.zeros(_AC_K, np.int64)   # valid<<22 | code<<6 | len
+    def put(k, r, a):
+        if T.AC_VALID[r, a]:
+            tab[k] = (1 << 22) | (int(T.AC_CODE[r, a]) << 6) | int(T.AC_LEN[r, a])
+    for r in range(8):
+        for a in range(8):
+            put(r * 8 + a, r, a)                      # A: [0, 64)
+    for a in range(8, 40):
+        put(64 + a - 8, 0, a)                         # B: [64, 96)
+    for a in range(8, 18):
+        put(96 + a - 8, 1, a)                         # C: [96, 106)
+    for r in range(8, 17):
+        for a in range(2):
+            put(106 + (r - 8) * 2 + a, r, a)          # D: [106, 124)
+    for r in range(17, 32):
+        put(124 + r - 17, r, 0)                       # E: [124, 139)
+    return tab
+
+
+_AC_TABLE = _build_ac_table()
+
+
+def _ac_key(run: jnp.ndarray, am1: jnp.ndarray) -> jnp.ndarray:
+    a8 = (run <= 7) & (am1 <= 7)
+    b = (run == 0) & (am1 >= 8) & (am1 <= 39)
+    c = (run == 1) & (am1 >= 8) & (am1 <= 17)
+    d = (run >= 8) & (run <= 16) & (am1 <= 1)
+    e = (run >= 17) & (run <= 31) & (am1 == 0)
+    k = jnp.full(run.shape, _AC_K - 1, jnp.int32)     # sentinel (invalid) row
+    k = jnp.where(a8, run * 8 + am1, k)
+    k = jnp.where(b, 64 + am1 - 8, k)
+    k = jnp.where(c, 96 + am1 - 8, k)
+    k = jnp.where(d, 106 + (run - 8) * 2 + am1, k)
+    k = jnp.where(e, 124 + run - 17, k)
+    return k
+
+
+def _ac_symbol(v: jnp.ndarray, run: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """put_AC (RTL:2525-2547) for v != 0: (code uint32, len int32)."""
     absv = jnp.abs(v)
     am1 = absv - 1
-    rc = jnp.clip(run, 0, 32)
-    ac = jnp.clip(am1, 0, 40)
-    valid = (run < 32) & (am1 < 41) & _AC_VALID[rc, ac]
-    code_t = (_AC_CODE[rc, ac] << 1) | (v < 0).astype(jnp.uint32)
-    len_t = _AC_LEN[rc, ac] + 1
+    e = _onehot_lookup(_ac_key(run, am1), _AC_TABLE)
+    valid = e >= (1 << 22)
+    code_t = (((e >> 6) & 0xFFFF).astype(jnp.uint32) << 1) | (v < 0).astype(jnp.uint32)
+    len_t = e & 63
     esc = (jnp.uint32(1) << 18) | (run.astype(jnp.uint32) << 12) \
         | (v.astype(jnp.int32) & 0xFFF).astype(jnp.uint32)
-    return jnp.where(valid, code_t, esc), jnp.where(valid, len_t, 24)
+    return jnp.where(valid, code_t, esc), jnp.where(valid, len_t + 1, 24)
+
+
+# small header/VLC tables as one-hot lookups (combined code<<5|len entries)
+_MV_TAB = (T.BITS_MOTION_VECTOR.astype(np.int64) << 5) | T.LENS_MOTION_VECTOR
+_CBP_TAB = (T.BITS_NZ_FLAGS.astype(np.int64) << 5) | T.LENS_NZ_FLAGS
+_DCY_TAB = (T.BITS_DC_Y.astype(np.int64) << 5) | T.LENS_DC_Y
+_DCUV_TAB = (T.BITS_DC_UV.astype(np.int64) << 5) | T.LENS_DC_UV
+
+
+class FrameSymbols(NamedTuple):
+    codes: jnp.ndarray    # (2 + nby, S) uint32
+    lens: jnp.ndarray     # (2 + nby, S) int32
+
+
+def _header_rows(i_frame: jnp.ndarray, frame_no: jnp.ndarray, s: int):
+    """GOP + picture header rows (RTL:2650-2698), device-computed."""
+    insec = frame_no % 24
+    second = (frame_no // 24) % 60
+    minute = (frame_no // (24 * 60)) % 60
+    hour = jnp.minimum(frame_no // (24 * 3600), 63)
+    is_gop = (i_frame == 0)
+    gop_codes = jnp.stack([
+        jnp.uint32(1), jnp.uint32(0xB8),
+        hour.astype(jnp.uint32), minute.astype(jnp.uint32),
+        (64 | second).astype(jnp.uint32), insec.astype(jnp.uint32), jnp.uint32(2)])
+    gop_lens = jnp.where(is_gop, jnp.array([24, 8, 6, 6, 7, 6, 2], jnp.int32), 0)
+    is_p = i_frame != 0
+    pic_codes = jnp.stack([
+        jnp.uint32(1), i_frame.astype(jnp.uint32),
+        jnp.where(is_p, jnp.uint32(0x20000), jnp.uint32(0x10000)),
+        jnp.where(is_p, jnp.uint32(0x380), jnp.uint32(0)),
+        jnp.uint32(1), jnp.uint32(0xB58111), jnp.uint32(0x1BC000)])
+    pic_lens = jnp.array([24, 18, 19, 0, 24, 24, 24], jnp.int32)
+    pic_lens = pic_lens.at[3].set(jnp.where(is_p, 11, 3))
+    codes = jnp.zeros((2, s), jnp.uint32)
+    lens = jnp.zeros((2, s), jnp.int32)
+    codes = codes.at[0, :7].set(gop_codes).at[1, :7].set(pic_codes)
+    lens = lens.at[0, :7].set(gop_lens).at[1, :7].set(pic_lens)
+    return codes, lens
 
 
 def symbolize_frame(
-    quant: jnp.ndarray,     # (nby, nbx, 6, 64) int32, raster coefficient order
-    inter: jnp.ndarray,     # (nby, nbx) bool
-    mvx: jnp.ndarray,       # (nby, nbx) int32 half-pel
+    quant: jnp.ndarray,      # (nby, nbx, 6, 64) int32, raster coefficient order
+    inter: jnp.ndarray,      # (nby, nbx) bool
+    mvx: jnp.ndarray,        # (nby, nbx) int32 half-pel
     mvy: jnp.ndarray,
-    i_frame: jnp.ndarray,   # scalar int32 (0 => I-frame)
+    i_frame: jnp.ndarray,    # scalar int32 (0 => I-frame)
+    frame_no: jnp.ndarray,   # scalar int32, frames since sequence start (timecode)
     q_level: int,
-):
-    """Returns (codes, lens, nzflags): per-slice slot grids ready for packing.
-
-    codes: (nby, 3 + nbx*SLOTS_PER_MB) uint32, lens: same shape int32."""
+) -> FrameSymbols:
     nby, nbx = inter.shape
-    zig = quant[..., _ZIG_INV]                                   # (nby, nbx, 6, 64)
+    zig = quant[..., _ZIG_INV]                                    # (nby, nbx, 6, 64)
     nz = jnp.logical_not(inter)[:, :, None] | (zig != 0).any(-1)  # (nby, nbx, 6)
     cbp = sum((nz[..., t].astype(jnp.int32) << (5 - t)) for t in range(6))
 
@@ -89,24 +173,25 @@ def symbolize_frame(
                           jnp.where(inter & (cbp == 0), 0x09, 0x03)).astype(jnp.uint32)
     type_len = jnp.where(intra & is_p, 6, jnp.where(inter & (cbp == 0), 4, 2))
 
-    # motion vector differentials (RTL:2735-2763): per-slice predictor chain
+    # motion vector differentials (RTL:2735-2763)
     def mv_symbol(mv):
         pub = jnp.where(inter, mv, 0)
         pred = jnp.concatenate([jnp.zeros((nby, 1), mv.dtype), pub[:, :-1]], axis=1)
         dmv = ((mv - pred + 16) & 31) - 16
-        a = jnp.abs(dmv)
-        s = (dmv != 0).astype(jnp.int32)
-        code = (_MV_BITS[a] << s) | (dmv < 0).astype(jnp.uint32)
-        ln = jnp.where(inter, _MV_LENS[a] + s, 0)
+        e = _onehot_lookup(jnp.abs(dmv), _MV_TAB)
+        s = (dmv != 0).astype(jnp.uint32)
+        code = ((e >> 5).astype(jnp.uint32) << s) | (dmv < 0).astype(jnp.uint32)
+        ln = jnp.where(inter, (e & 31) + s.astype(jnp.int32), 0)
         return code, ln
     mvx_code, mvx_len = mv_symbol(mvx)
     mvy_code, mvy_len = mv_symbol(mvy)
 
-    cbp_code = _CBP_BITS[cbp]
-    cbp_len = jnp.where(inter, _CBP_LENS[cbp], 0)
+    cbp_e = _onehot_lookup(cbp, _CBP_TAB)
+    cbp_code = (cbp_e >> 5).astype(jnp.uint32)
+    cbp_len = jnp.where(inter, cbp_e & 31, 0)
 
     # ---- DC prediction chains (RTL:2781-2821) --------------------------------
-    dc = zig[..., 0]                                             # (nby, nbx, 6)
+    dc = zig[..., 0]                                              # (nby, nbx, 6)
     pub_y = jnp.where(inter[:, :, None], 0, dc[..., :4]).reshape(nby, nbx * 4)
     pred_y = jnp.concatenate([jnp.zeros((nby, 1), dc.dtype), pub_y[:, :-1]], axis=1)
     pred_y = pred_y.reshape(nby, nbx, 4)
@@ -116,16 +201,19 @@ def symbolize_frame(
     pred_v = jnp.concatenate([jnp.zeros((nby, 1), dc.dtype), pub_v[:, :-1]], axis=1)
     pred_dc = jnp.concatenate([pred_y, pred_u[..., None], pred_v[..., None]], axis=-1)
 
-    diff = dc - pred_dc                                          # (nby, nbx, 6)
+    diff = dc - pred_dc                                           # (nby, nbx, 6)
     mag = jnp.abs(diff)
     vallen = sum((mag >= (1 << k)).astype(jnp.int32) for k in range(12))
     val = diff & 0xFFF
     val = jnp.where(diff < 0, (val + (1 << vallen) - 1) & 0xFFF, val)
     val = (val & ((1 << vallen) - 1)).astype(jnp.uint32)
+    dce_y = _onehot_lookup(vallen, _DCY_TAB)
+    dce_uv = _onehot_lookup(vallen, _DCUV_TAB)
     is_luma = (jnp.arange(6) < 4)[None, None, :]
-    size_code = jnp.where(is_luma, _DCY_BITS[vallen], _DCUV_BITS[vallen])
-    size_len = jnp.where(is_luma, _DCY_LENS[vallen], _DCUV_LENS[vallen])
-    dc_intra_code = (size_code << vallen) | val
+    dce = jnp.where(is_luma, dce_y, dce_uv)
+    size_code = (dce >> 5).astype(jnp.uint32)
+    size_len = dce & 31
+    dc_intra_code = (size_code << vallen.astype(jnp.uint32)) | val
     dc_intra_len = size_len + vallen
 
     # inter DC: 0 => nothing (counts as run); +-1 => 2-bit '1s'; else put_AC(v, 0)
@@ -139,25 +227,24 @@ def symbolize_frame(
 
     # ---- AC run/level (RTL:2823-2834) -----------------------------------------
     k_idx = jnp.arange(64)
-    emit0 = intra[:, :, None] | (dc != 0)                        # position-0 emits
+    emit0 = intra[:, :, None] | (dc != 0)                         # position-0 emits
     emits = (zig != 0).at[..., 0].set(emit0)
     ew = jnp.where(emits, k_idx, -1)
     pm = jax.lax.cummax(ew, axis=ew.ndim - 1)
     prev = jnp.concatenate([jnp.full(pm.shape[:-1] + (1,), -1, pm.dtype),
                             pm[..., :-1]], axis=-1)
-    run = k_idx - prev - 1                                       # (nby, nbx, 6, 64)
+    run = k_idx - prev - 1                                        # (nby, nbx, 6, 64)
     ac_code, ac_len = _ac_symbol(jnp.where(zig == 0, 1, zig), run)
     ac_len = jnp.where(zig == 0, 0, ac_len)
-    ac_code = ac_code[..., 1:]                                   # positions 1..63
+    ac_code = ac_code[..., 1:]                                    # positions 1..63
     ac_len = ac_len[..., 1:]
 
     eob_code = jnp.full(nz.shape, 0b10, jnp.uint32)
     eob_len = jnp.full(nz.shape, 2, jnp.int32)
 
-    # mask tile symbols by the coded flag (skipped tiles emit nothing, RTL:2779)
     nz_i = nz.astype(jnp.int32)
     tile_codes = jnp.concatenate([dc_code[..., None], ac_code, eob_code[..., None]],
-                                 axis=-1)                        # (nby, nbx, 6, 65)
+                                 axis=-1)                         # (nby, nbx, 6, 65)
     tile_lens = jnp.concatenate([dc_len[..., None], ac_len, eob_len[..., None]],
                                 axis=-1) * nz_i[..., None]
 
@@ -169,54 +256,28 @@ def symbolize_frame(
         cbp_len[..., None], tile_lens.reshape(nby, nbx, 6 * 65)], axis=-1)
 
     # slice header slots (RTL:2708-2710)
+    s = 3 + nbx * SLOTS_PER_MB
     y16 = jnp.arange(nby, dtype=jnp.uint32)
     hdr_codes = jnp.stack([jnp.full(nby, 1, jnp.uint32), y16 + 1,
                            jnp.full(nby, 2 << q_level, jnp.uint32)], axis=1)
     hdr_lens = jnp.broadcast_to(jnp.array([24, 8, 6], jnp.int32), (nby, 3))
+    slice_codes = jnp.concatenate(
+        [hdr_codes, mb_codes.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
+    slice_lens = jnp.concatenate(
+        [hdr_lens, mb_lens.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
 
-    codes = jnp.concatenate([hdr_codes, mb_codes.reshape(nby, nbx * SLOTS_PER_MB)],
-                            axis=1)
-    lens = jnp.concatenate([hdr_lens, mb_lens.reshape(nby, nbx * SLOTS_PER_MB)],
-                           axis=1)
-    return codes, lens, cbp
-
-
-def pack_slices(codes: jnp.ndarray, lens: jnp.ndarray, words_per_slice: int
-                ) -> PackedSlices:
-    """Splice per-slice symbol streams into big-endian 32-bit words.
-
-    Parallel-prefix over lengths gives bit offsets; each <=24-bit symbol spans at
-    most two words, contributed via two scatter-adds (bit ranges are disjoint, so
-    add == or)."""
-    nby, s = codes.shape
-    off_end = jnp.cumsum(lens, axis=1)
-    off = off_end - lens                                         # exclusive prefix
-    nbits = off_end[:, -1]
-
-    word_idx = off >> 5
-    bit_in = off & 31
-    sh = 32 - bit_in - lens                                      # may be negative
-    c = codes.astype(jnp.uint32)
-    shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-    shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-    shlo = jnp.clip(32 + sh, 0, 31).astype(jnp.uint32)
-    hi = jnp.where(sh >= 0, c << shl, c >> shr)
-    lo = jnp.where(sh >= 0, jnp.uint32(0), c << shlo)
-    hi = jnp.where(lens > 0, hi, jnp.uint32(0)).astype(jnp.uint32)
-    lo = jnp.where(lens > 0, lo, jnp.uint32(0)).astype(jnp.uint32)
-
-    base = (jnp.arange(nby, dtype=jnp.int32) * words_per_slice)[:, None]
-    flat_hi_idx = (base + word_idx).reshape(-1)
-    flat_lo_idx = (base + jnp.minimum(word_idx + 1, words_per_slice - 1)).reshape(-1)
-    buf = jnp.zeros((nby * words_per_slice,), jnp.uint32)
-    buf = buf.at[flat_hi_idx].add(hi.reshape(-1), mode="drop")
-    buf = buf.at[flat_lo_idx].add(lo.reshape(-1), mode="drop")
-    return PackedSlices(buf.reshape(nby, words_per_slice), nbits)
+    hc, hl = _header_rows(i_frame, frame_no, s)
+    return FrameSymbols(jnp.concatenate([hc, slice_codes], axis=0),
+                        jnp.concatenate([hl, slice_lens], axis=0))
 
 
-def words_per_slice_bound(nbx: int) -> int:
-    """Hard upper bound on packed bits per slice: header 38 + worst-case symbols
-    (every coefficient escaped at 24 bits)."""
+def slice_words_bound(nbx: int) -> int:
+    """Hard bound on packed words per slot-grid row: slice header 38 bits + worst-case
+    macroblock symbols (every coefficient escaped)."""
     worst_mb = 6 + 11 + 11 + 9 + 6 * (24 + 63 * 24 + 2)
-    bits = 38 + nbx * worst_mb
-    return (bits + 31) // 32 + 1
+    return (38 + nbx * worst_mb + 31) // 32 + 1
+
+
+def frame_words_bound(nbx: int, nby: int) -> int:
+    """Hard bound on packed words per frame (headers + all slices)."""
+    return nby * slice_words_bound(nbx) + 8

@@ -10,7 +10,7 @@ shape.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,36 +18,62 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..config import EncoderConfig, SequenceConfig
-from ..models.encoder import Encoder, encode_frame_core
+from ..core.bitstream import BitWriter, sequence_header_chunks, SEQUENCE_END_CHUNKS
+from ..models.encoder import (
+    DEFAULT_FRAME_CAP,
+    DEFAULT_ROW_CAP,
+    encode_frame_core,
+    encode_gop_scan_core,
+    words_to_bytes,
+)
 from ..ops import entropy
 from .mesh import make_mesh, stream_sharding
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("yr", "ur", "q_level", "words_per_slice"),
-    donate_argnames=("prev_y", "prev_u", "prev_v"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap"),
 )
 def encode_frames_batched(
     y444, u444, v444,            # (B, H, W) uint8
     prev_y, prev_u, prev_v,      # (B, H, W) / (B, H/2, W/2)
-    i_frame,                     # (B,) int32
-    *, yr: int, ur: int, q_level: int, words_per_slice: int,
+    i_frame, frame_no,           # (B,) int32
+    *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int,
 ):
     f = functools.partial(encode_frame_core, yr=yr, ur=ur, q_level=q_level,
-                          words_per_slice=words_per_slice)
-    return jax.vmap(f)(y444, u444, v444, prev_y, prev_u, prev_v, i_frame)
+                          row_cap=row_cap, frame_cap=frame_cap)
+    return jax.vmap(f)(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap"),
+)
+def encode_gops_batched(
+    frames_y, frames_u, frames_v,   # (B, F, H, W) uint8
+    prev_y, prev_u, prev_v,         # (B, ...)
+    i_frame0, frame_no0,            # (B,)
+    pframes_count,                  # (B,)
+    *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
+):
+    f = functools.partial(encode_gop_scan_core, yr=yr, ur=ur, q_level=q_level,
+                          row_cap=row_cap, frame_cap=frame_cap, seq_cap=seq_cap)
+    return jax.vmap(f)(frames_y, frames_u, frames_v, prev_y, prev_u, prev_v,
+                       i_frame0, frame_no0, pframes_count)
 
 
 class BatchEncoder:
-    """Encode a batch of same-sized streams concurrently, one frame step at a time.
+    """Encode a batch of same-sized streams concurrently.
 
     Each stream keeps its own GOP index, timecode and byte assembly (host side);
-    the device step is one SPMD program over the sharded batch.
+    the device step is one SPMD program over the sharded batch.  ``push_frames``
+    steps one frame per stream; ``push_chunks`` runs a device-resident scan over
+    several frames per stream (the high-throughput path).
     """
 
     def __init__(self, config: EncoderConfig, seq: SequenceConfig,
-                 batch: int, mesh: Optional[Mesh] = None):
+                 batch: int, mesh: Optional[Mesh] = None,
+                 row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP):
         if mesh is None and len(jax.devices()) > 1:
             n = len(jax.devices())
             mesh = make_mesh(n if batch % n == 0 else 1)
@@ -55,44 +81,88 @@ class BatchEncoder:
         self.seq = seq.validate(config)
         self.batch = batch
         self.mesh = mesh
+        self.row_cap = row_cap
+        self.frame_cap = frame_cap
         self._sharding = stream_sharding(mesh) if mesh is not None else None
-        self._encoders = [Encoder(config) for _ in range(batch)]
-        for e in self._encoders:
-            e.start_sequence(self.seq)
         h, w = self.seq.height, self.seq.width
-        zy = np.zeros((batch, h, w), np.uint8)
-        zc = np.zeros((batch, h // 2, w // 2), np.uint8)
-        self._prev = tuple(self._put(z) for z in (zy, zc, zc))
-        self._wps = entropy.words_per_slice_bound(self.seq.mb_cols)
+        self._prev = (self._put(np.zeros((batch, h, w), np.uint8)),
+                      self._put(np.zeros((batch, h // 2, w // 2), np.uint8)),
+                      self._put(np.zeros((batch, h // 2, w // 2), np.uint8)))
+        self._i_frame = np.zeros(batch, np.int32)
+        self._frame_no = np.zeros(batch, np.int32)
+        bw = BitWriter()
+        bw.put_chunks(sequence_header_chunks(self.seq.width, self.seq.height))
+        hdr = bw.to_bytes_aligned()
+        self._payload: List[List[bytes]] = [[hdr] for _ in range(batch)]
 
     def _put(self, arr):
         if self._sharding is not None:
             return jax.device_put(arr, self._sharding)
         return jnp.asarray(arr)
 
+    def _kw(self):
+        return dict(yr=self.config.yr, ur=self.config.ur,
+                    q_level=self.config.q_level)
+
     def push_frames(self, frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]):
         """One frame per stream (YUV 4:4:4 uint8 planes)."""
         assert len(frames) == self.batch
-        y = self._put(np.stack([f[0] for f in frames]))
-        u = self._put(np.stack([f[1] for f in frames]))
-        v = self._put(np.stack([f[2] for f in frames]))
-        cur_i = [e._i_frame for e in self._encoders]
-        i_frames = self._put(np.array(cur_i, np.int32))
-        ry, ru, rv, words, nbits = encode_frames_batched(
-            y, u, v, *self._prev, i_frames,
-            yr=self.config.yr, ur=self.config.ur,
-            q_level=self.config.q_level, words_per_slice=self._wps)
+        args = (self._put(np.stack([f[0] for f in frames])),
+                self._put(np.stack([f[1] for f in frames])),
+                self._put(np.stack([f[2] for f in frames])),
+                *self._prev, self._put(self._i_frame), self._put(self._frame_no))
+        ry, ru, rv, fw, fb, ovf = encode_frames_batched(
+            *args, **self._kw(), row_cap=self.row_cap, frame_cap=self.frame_cap)
+        if bool(np.asarray(ovf).any()):
+            ry, ru, rv, fw, fb, ovf = encode_frames_batched(
+                *args, **self._kw(),
+                row_cap=entropy.slice_words_bound(self.seq.mb_cols),
+                frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows))
         self._prev = (ry, ru, rv)
-        words_h = np.asarray(words)
-        nbits_h = np.asarray(nbits)
-        for b, e in enumerate(self._encoders):
-            e._emit_frame_bits(words_h[b], nbits_h[b], cur_i[b])
-            e._i_frame = 0 if e._i_frame >= self.seq.pframes_count else e._i_frame + 1
-            e._frame_no += 1
+        fw_h, fb_h = np.asarray(fw), np.asarray(fb)
+        for b in range(self.batch):
+            self._payload[b].append(words_to_bytes(fw_h[b], int(fb_h[b])))
+        self._i_frame = np.where(self._i_frame >= self.seq.pframes_count,
+                                 0, self._i_frame + 1).astype(np.int32)
+        self._frame_no += 1
+
+    def push_chunks(self, chunks: List[List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]):
+        """Several frames per stream, encoded by one batched device scan."""
+        assert len(chunks) == self.batch
+        n_frames = len(chunks[0])
+        fy = self._put(np.stack([np.stack([f[0] for f in c]) for c in chunks]))
+        fu = self._put(np.stack([np.stack([f[1] for f in c]) for c in chunks]))
+        fv = self._put(np.stack([np.stack([f[2] for f in c]) for c in chunks]))
+        pf = self._put(np.full(self.batch, self.seq.pframes_count, np.int32))
+        args = (fy, fu, fv, *self._prev,
+                self._put(self._i_frame), self._put(self._frame_no), pf)
+        caps = dict(row_cap=self.row_cap, frame_cap=self.frame_cap,
+                    seq_cap=self.frame_cap * max(1, n_frames // 4))
+        ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gops_batched(
+            *args, **self._kw(), **caps)
+        if bool(np.asarray(ovf).any()):
+            caps = dict(
+                row_cap=entropy.slice_words_bound(self.seq.mb_cols),
+                frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows),
+                seq_cap=entropy.frame_words_bound(self.seq.mb_cols,
+                                                  self.seq.mb_rows) * n_frames)
+            ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gops_batched(
+                *args, **self._kw(), **caps)
+        self._prev = (ry, ru, rv)
+        sw_h, sb_h = np.asarray(sw), np.asarray(sb)
+        for b in range(self.batch):
+            self._payload[b].append(words_to_bytes(sw_h[b], int(sb_h[b])))
+        self._i_frame = np.asarray(i_f)
+        self._frame_no = np.asarray(fno)
 
     def finish(self) -> List[bytes]:
         out = []
-        for e in self._encoders:
-            e._prev = None   # prev buffers live in the batch, not per-encoder
-            out.append(e.finish())
+        bw = BitWriter()
+        bw.put_chunks(SEQUENCE_END_CHUNKS)
+        end = bw.to_bytes_aligned()
+        for b in range(self.batch):
+            data = b"".join(self._payload[b]) + end
+            target = (len(data) // 32 + 1) * 32
+            out.append(data + b"\x00" * (target - len(data)))
+        self._payload = [[b""] for _ in range(self.batch)]
         return out

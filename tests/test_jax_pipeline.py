@@ -121,3 +121,29 @@ class TestFullStream:
         g1 = G.encode_sequence(EncoderConfig(xl=5, yl=5), SequenceConfig(64, 64, 1), f1)
         g2 = G.encode_sequence(EncoderConfig(xl=5, yl=5), SequenceConfig(96, 64, 1), f2)
         assert s1 == g1 and s2 == g2
+
+
+class TestChunkedScan:
+    def test_chunked_encode_bit_exact(self, video_factory):
+        cfg = EncoderConfig(xl=5, yl=5, vector_level=3, q_level=2)
+        frames = video_factory(96, 64, 7)
+        seq = SequenceConfig(96, 64, 2)
+        gold = G.encode_sequence(cfg, seq, frames)
+        got = Encoder(cfg).encode(frames, 96, 64, pframes_count=2, chunk_frames=3)
+        assert gold == got
+
+    def test_chunked_equals_streaming(self, video_factory):
+        cfg = EncoderConfig(xl=5, yl=5)
+        frames = video_factory(80, 64, 6, kind="noise")
+        a = Encoder(cfg).encode(frames, 80, 64, pframes_count=4, chunk_frames=6)
+        b = Encoder(cfg).encode(frames, 80, 64, pframes_count=4, chunk_frames=1)
+        assert a == b
+
+    def test_overflow_retry_path(self, video_factory):
+        # tiny caps force the overflow retry with worst-case buffers
+        cfg = EncoderConfig(xl=4, yl=4, q_level=1)
+        frames = video_factory(64, 64, 3, kind="noise")
+        enc = Encoder(cfg, row_cap=8, frame_cap=16)
+        got = enc.encode(frames, 64, 64, pframes_count=1)
+        seq = SequenceConfig(64, 64, 1)
+        assert got == G.encode_sequence(cfg, seq, frames)

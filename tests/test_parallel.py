@@ -84,7 +84,7 @@ def test_graft_entry_contract():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert len(out) == 5
+    assert len(out) == 6
 
 
 @needs_8dev
