@@ -3,29 +3,34 @@ RTL/mpeg2encoder.v:1310-1918).
 
 TPU-first design
 ----------------
-The RTL searches one macroblock at a time with 169 parallel SAD accumulators; on TPU
-all macroblocks of the frame run concurrently:
+The RTL searches one macroblock at a time with 169 parallel SAD accumulators and
+recenters its reference window by shifting registers (REF_SHIFT_*, RTL:1719-1740).
+Here all macroblocks run concurrently, and - crucially - the design is GATHER- and
+SCATTER-FREE (TPU gathers cost ~9 ns/element and compile poorly):
 
-* full-pel: one batched SAD volume ((2YR+1)^2, nby, nbx) built from whole-frame
-  shifted absolute differences + block reductions - pure VPU work, fused by XLA;
+* full-pel: 169 statically-shifted whole-frame absolute differences; the 16x16
+  block reduction rides the MXU as an exact bf16 matmul against a block-diagonal
+  0/1 matrix (|diff| <= 255 and 0/1 entries are exact in bf16; accumulation is f32);
 * argmin with the exact RTL tie-break (largest dy, then largest dx among minima,
   RTL:1694-1710) via an order-encoding key;
-* half-pel: per-MB 18x18 window gather from the padded previous recon, four
-  interpolated grids (full/H/V/HV), 9 candidate SADs, the exact
-  find_min_in_10_values tournament (RTL:804-840) against the intra activity metric
-  (f_Y_sum accumulation quirk included, RTL:1659-1662/1774-1791);
-* prediction: luma from the selected half-pel grid, chroma via mv>>2 full-pel
-  offset + (mv>>1)&1 half flags (RTL:1847-1917).
+* recentering: the TPU analog of REF_SHIFT is a 13+13-case masked select over
+  statically shifted sliding-window tensors - every macroblock's 18x18 search
+  window lands at its own motion vector with pure static slices;
+* half-pel: four interpolated grids (full/H/V/HV), 9 candidate SADs, the exact
+  find_min_in_10_values tournament (RTL:804-840) against the intra activity
+  metric (f_Y_sum accumulation quirk included, RTL:1659-1662/1774-1791);
+* prediction: luma from the selected half-pel grid; chroma via mv>>2 full-pel
+  offset + (mv>>1)&1 half flags (RTL:1847-1917), aligned the same way.
 
 All arithmetic is integer-exact against the golden model.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .colorspace import mean2, mean4
 
@@ -37,11 +42,6 @@ class MotionResult(NamedTuple):
     pred_y: jnp.ndarray      # (nby, nbx, 16, 16) int32
     pred_u: jnp.ndarray      # (nby, nbx, 8, 8) int32
     pred_v: jnp.ndarray      # (nby, nbx, 8, 8) int32
-
-
-def _block_sum(x: jnp.ndarray, bs: int) -> jnp.ndarray:
-    h, w = x.shape
-    return x.reshape(h // bs, bs, w // bs, bs).sum(axis=(1, 3))
 
 
 def _find_min_10(v: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +64,48 @@ def _find_min_10(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(use89, i89, left)
 
 
+def _block_reduce_matmul(x: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(H, W) nonneg int (values <= 255*bs) -> (H//bs, W//bs) block sums.
+
+    Column groups reduce on the MXU: x_bf16 @ block-diagonal 0/1 matrix, exact
+    because |x| <= 4095 < 2^8 per element... (entries <= 255 are bf16-exact and the
+    matmul accumulates in f32).  Row groups reduce with a cheap reshape-sum."""
+    h, w = x.shape
+    b = (jnp.arange(w)[:, None] // bs == jnp.arange(w // bs)[None, :])
+    cols = jnp.dot(x.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)          # (H, W//bs)
+    return cols.reshape(h // bs, bs, w // bs).sum(axis=1).astype(jnp.int32)
+
+
+def _sliding_block_windows(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(Hp, Wp) padded plane (pad = bs each side) -> (nby, nbx, 3*bs, 3*bs) windows:
+    window [by, bx] covers rows/cols [16*by - bs, 16*by + 2*bs) of the unpadded
+    plane - a static 3x3-block sliding expansion (two concat-of-reshape passes)."""
+    hp, wp = plane.shape
+    nby, nbx = hp // bs - 2, wp // bs - 2
+    r = plane.reshape(hp // bs, bs, wp)
+    rows = jnp.concatenate([r[:-2], r[1:-1], r[2:]], axis=1)    # (nby, 3bs, Wp)
+    c = rows.reshape(nby, 3 * bs, wp // bs, bs)
+    return jnp.concatenate([c[:, :, :-2], c[:, :, 1:-1], c[:, :, 2:]], axis=3) \
+        .transpose(0, 2, 1, 3)                                  # (nby, nbx, 3bs, 3bs)
+
+
+def _align_windows(t: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.ndarray,
+                   rng: int, out: int, base: int) -> jnp.ndarray:
+    """Masked-select recentering: t (nby, nbx, 3bs, 3bs) sliding windows,
+    off in [-rng, rng] per macroblock -> (nby, nbx, out, out) windows starting at
+    relative coordinate (base + off) (base relative to the window's -bs origin)."""
+    acc = jnp.zeros(t.shape[:2] + (out, t.shape[3]), t.dtype)
+    for d in range(-rng, rng + 1):
+        m = (off_y == d)[:, :, None, None]
+        acc = jnp.where(m, t[:, :, base + d: base + d + out, :], acc)
+    acc2 = jnp.zeros(t.shape[:2] + (out, out), t.dtype)
+    for d in range(-rng, rng + 1):
+        m = (off_x == d)[:, :, None, None]
+        acc2 = jnp.where(m, acc[:, :, :, base + d: base + d + out], acc2)
+    return acc2
+
+
 def estimate_and_predict(
     cur_y: jnp.ndarray,        # (H, W) uint8 current luma
     cur_u: jnp.ndarray,        # (H/2, W/2) uint8
@@ -77,18 +119,17 @@ def estimate_and_predict(
 ) -> MotionResult:
     h, w = cur_y.shape
     nby, nbx = h // 16, w // 16
-    pad = yr + 1
-    cpad = ur + 1
 
-    cy32 = cur_y.astype(jnp.int32)
-    prevp = jnp.pad(prev_y, pad).astype(jnp.int32)
+    cy16 = cur_y.astype(jnp.int16)
+    prevp = jnp.pad(prev_y, yr).astype(jnp.int16)
 
-    # ---- full-pel SAD volume --------------------------------------------------
+    # ---- full-pel SAD volume: static shifts + MXU block reduction -------------
     sads = []
     for dy in range(-yr, yr + 1):
         for dx in range(-yr, yr + 1):
-            win = jax.lax.dynamic_slice(prevp, (pad + dy, pad + dx), (h, w))
-            sads.append(_block_sum(jnp.abs(cy32 - win), 16))
+            win = jax.lax.dynamic_slice(prevp, (yr + dy, yr + dx), (h, w))
+            d = jnp.abs(cy16 - win)
+            sads.append(_block_reduce_matmul(d, 16))
     sad = jnp.stack(sads)                                   # (169, nby, nbx)
 
     n = 2 * yr + 1
@@ -96,20 +137,20 @@ def estimate_and_predict(
     dxi = (jnp.arange(n * n) % n) - yr
     col = jnp.arange(nbx)
     row = jnp.arange(nby)
-    edge_l = (col == 0)[None, None, :]
-    edge_r = (col == nbx - 1)[None, None, :]
-    edge_t = (row == 0)[None, :, None]
-    edge_b = (row == nby - 1)[None, :, None]
-    neg_x = (dxi < 0)[:, None, None]
-    pos_x = (dxi > 0)[:, None, None]
-    neg_y = (dyi < 0)[:, None, None]
-    pos_y = (dyi > 0)[:, None, None]
-    invalid = (edge_l & neg_x) | (edge_r & pos_x) | (edge_t & neg_y) | (edge_b & pos_y)
+    edge_l = (col == 0)[None, :]
+    edge_r = (col == nbx - 1)[None, :]
+    edge_t = (row == 0)[:, None]
+    edge_b = (row == nby - 1)[:, None]
+    invalid = (edge_l[None] & (dxi < 0)[:, None, None]) \
+        | (edge_r[None] & (dxi > 0)[:, None, None]) \
+        | (edge_t[None] & (dyi < 0)[:, None, None]) \
+        | (edge_b[None] & (dyi > 0)[:, None, None])
     invalid = invalid | (sad > 4095)                        # 12-bit overflow (RTL:1670)
 
     # tie-break: min SAD, then largest dy, then largest dx == largest linear index
     big = jnp.int32(1 << 24)
-    key = jnp.where(invalid, big, sad * (n * n) + (n * n - 1 - jnp.arange(n * n))[:, None, None])
+    key = jnp.where(invalid, big,
+                    sad * (n * n) + (n * n - 1 - jnp.arange(n * n))[:, None, None])
     kmin = key.min(axis=0)
     lin = (n * n - 1) - (kmin % (n * n))
     center = yr * n + yr
@@ -118,31 +159,29 @@ def estimate_and_predict(
     mvx_full = lin % n - yr
 
     # ---- intra activity metric (16-bit accumulator semantics) -----------------
-    pixsum = _block_sum(cy32, 16)                           # (nby, nbx) <= 65280
+    cy32 = cur_y.astype(jnp.int32)
+    pixsum = _block_reduce_matmul(cur_y.astype(jnp.int16), 16)   # <= 65280
     mean = (pixsum >> 8) & 0xFF
     blk = cy32.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)   # (nby, nbx, 16, 16)
     sad_mean = jnp.abs(blk - mean[:, :, None, None]).sum(axis=(2, 3))
     acc = (pixsum + sad_mean) & 0xFFFF
     intra_cost = jnp.where(acc < 4096, acc, 0xFFF)
 
-    # ---- half-pel windows: per-MB 18x18 gather at the full-pel mv -------------
-    by16 = (jnp.arange(nby) * 16)[:, None]
-    bx16 = (jnp.arange(nbx) * 16)[None, :]
-    r0 = by16 + mvy_full + pad - 1                          # (nby, nbx)
-    c0 = bx16 + mvx_full + pad - 1
-    rr = r0[:, :, None] + jnp.arange(18)[None, None, :]     # (nby, nbx, 18)
-    cc = c0[:, :, None] + jnp.arange(18)[None, None, :]
-    w18 = prevp[rr[:, :, :, None], cc[:, :, None, :]]      # (nby, nbx, 18, 18)
+    # ---- recentring: every MB's 18x18 window at its own full-pel mv -----------
+    # (gather-free REF_SHIFT analog: sliding 48x48 windows + 13+13 masked selects)
+    prevp16 = jnp.pad(prev_y, 16).astype(jnp.int16)
+    t48 = _sliding_block_windows(prevp16, 16)               # (nby, nbx, 48, 48)
+    # window starts at relative coord (mv - 1); rel -16 is window index 0
+    w18 = _align_windows(t48, mvy_full, mvx_full, yr, 18, 15).astype(jnp.int32)
 
-    full = w18                                              # even-even half coords
+    full = w18
     hh = mean2(w18[..., :, :-1], w18[..., :, 1:])           # (.., 18, 17)
     vv = mean2(w18[..., :-1, :], w18[..., 1:, :])           # (.., 17, 18)
     m4 = mean4(w18[..., :-1, :-1], w18[..., :-1, 1:],
                w18[..., 1:, :-1], w18[..., 1:, 1:])         # (.., 17, 17)
 
     def cand_grid(hy: int, hx: int) -> jnp.ndarray:
-        """16x16 sample grid of candidate (hy, hx) in half-pel offsets."""
-        ry, rx = (hy + 1) >> 1, (hx + 1) >> 1               # slice starts for odd axes
+        ry, rx = (hy + 1) >> 1, (hx + 1) >> 1
         if hy == 0 and hx == 0:
             return full[..., 1:17, 1:17]
         if hy == 0:
@@ -158,13 +197,13 @@ def estimate_and_predict(
         s = jnp.abs(blk - grids[i9]).sum(axis=(2, 3))
         bad = jnp.zeros((nby, nbx), bool)
         if hx < 0:
-            bad |= edge_l[0] | (mvx_full == -yr)
+            bad |= edge_l | (mvx_full == -yr)
         if hx > 0:
-            bad |= edge_r[0] | (mvx_full == yr)
+            bad |= edge_r | (mvx_full == yr)
         if hy < 0:
-            bad |= edge_t[0] | (mvy_full == -yr)
+            bad |= edge_t | (mvy_full == -yr)
         if hy > 0:
-            bad |= edge_b[0] | (mvy_full == yr)
+            bad |= edge_b | (mvy_full == yr)
         vals.append(jnp.where(bad | (s > 4095), over, s))
     vals.append(intra_cost)
     idx = _find_min_10(jnp.stack(vals, axis=-1))            # (nby, nbx) in 0..9
@@ -185,15 +224,11 @@ def estimate_and_predict(
     # ---- chroma prediction -----------------------------------------------------
     cfy, cfx = mvy >> 2, mvx >> 2                           # full-pel chroma offset
     chy, chx = (mvy >> 1) & 1, (mvx >> 1) & 1
-    pup = jnp.pad(prev_u, cpad).astype(jnp.int32)
-    pvp = jnp.pad(prev_v, cpad).astype(jnp.int32)
-    cr0 = (jnp.arange(nby) * 8)[:, None] + cfy + cpad
-    cc0 = (jnp.arange(nbx) * 8)[None, :] + cfx + cpad
-    crr = cr0[:, :, None] + jnp.arange(9)[None, None, :]
-    ccc = cc0[:, :, None] + jnp.arange(9)[None, None, :]
 
-    def chroma_pred(plane_pad: jnp.ndarray) -> jnp.ndarray:
-        w9 = plane_pad[crr[:, :, :, None], ccc[:, :, None, :]]          # (nby,nbx,9,9)
+    def chroma_pred(plane: jnp.ndarray) -> jnp.ndarray:
+        pp = jnp.pad(plane, 8).astype(jnp.int16)
+        t24 = _sliding_block_windows(pp, 8)                 # (nby, nbx, 24, 24)
+        w9 = _align_windows(t24, cfy, cfx, ur, 9, 8).astype(jnp.int32)
         p00 = w9[..., :8, :8]
         ph = mean2(w9[..., :8, :8], w9[..., :8, 1:9])
         pv = mean2(w9[..., :8, :8], w9[..., 1:9, :8])
@@ -203,4 +238,4 @@ def estimate_and_predict(
         p = jnp.where(hyb & hxb, pm, jnp.where(hxb, ph, jnp.where(hyb, pv, p00)))
         return jnp.where(inter[:, :, None, None], p, 128)
 
-    return MotionResult(inter, mvx, mvy, pred_y, chroma_pred(pup), chroma_pred(pvp))
+    return MotionResult(inter, mvx, mvy, pred_y, chroma_pred(prev_u), chroma_pred(prev_v))
