@@ -82,18 +82,20 @@ def encode_frame_core(
     cur_t = _tiles(yb, ub, vb)
     pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
 
-    resid = (cur_t - pred_t).reshape(-1, 64)
+    # coefficient-major layout (64, N): tile axis in vector lanes, full occupancy
+    resid = (cur_t - pred_t).reshape(-1, 64).T
     inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
     f = dct.fdct(resid)
     q = dct.quantize(f, inter_t, q_level)
     rres = dct.idct(dct.dequantize(q, inter_t, q_level))
-    recon_t = jnp.clip(pred_t.reshape(-1, 64) + rres, 0, 255).reshape(nby, nbx, 6, 64)
+    recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+        .T.reshape(nby, nbx, 6, 64)
 
     recon_y = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
     recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
     recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
 
-    sym = entropy.symbolize_frame(q.reshape(nby, nbx, 6, 64), mr.inter,
+    sym = entropy.symbolize_frame(q.T.reshape(nby, nbx, 6, 64), mr.inter,
                                   mr.mvx, mr.mvy, i_frame, frame_no, q_level)
     row_words, row_bits = bitpack.pack_symbols(sym.codes, sym.lens, row_cap)
     row_bits_a = bitpack.align_bytes(row_bits)

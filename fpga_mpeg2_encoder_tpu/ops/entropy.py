@@ -39,7 +39,7 @@ from ..core import tables as T
 
 SLOTS_PER_MB = 4 + 6 * 65
 HEADER_ROWS = 2           # row 0: GOP header, row 1: picture header
-_ZIG_INV = jnp.asarray(T.ZIGZAG_INV)
+_ZIG_INV_NP = np.asarray(T.ZIGZAG_INV)
 
 
 def _onehot_lookup(idx: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
@@ -162,7 +162,7 @@ def symbolize_frame(
     q_level: int,
 ) -> FrameSymbols:
     nby, nbx = inter.shape
-    zig = quant[..., _ZIG_INV]                                    # (nby, nbx, 6, 64)
+    zig = quant[..., jnp.asarray(_ZIG_INV_NP)]                                    # (nby, nbx, 6, 64)
     nz = jnp.logical_not(inter)[:, :, None] | (zig != 0).any(-1)  # (nby, nbx, 6)
     cbp = sum((nz[..., t].astype(jnp.int32) << (5 - t)) for t in range(6))
 

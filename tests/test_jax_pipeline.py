@@ -23,7 +23,7 @@ class TestOpsVsGolden:
     def test_fdct_exact(self, rng):
         x = rng.integers(-255, 256, (64, 8, 8)).astype(np.int32)
         want = np.stack([G.fdct(t) for t in x]).reshape(64, 64)
-        got = np.asarray(dct.fdct(jnp.asarray(x.reshape(64, 64))))
+        got = np.asarray(dct.fdct(jnp.asarray(x.reshape(64, 64).T))).T
         assert (want == got).all()
 
     @pytest.mark.parametrize("q_level", [1, 2, 3, 4])
@@ -31,18 +31,18 @@ class TestOpsVsGolden:
         f = rng.integers(-20000, 20000, (32, 8, 8)).astype(np.int32)
         inter = rng.integers(0, 2, 32).astype(bool)
         want_q = np.stack([G.quantize(t, bool(i), q_level) for t, i in zip(f, inter)])
-        got_q = np.asarray(dct.quantize(jnp.asarray(f.reshape(32, 64)),
-                                        jnp.asarray(inter), q_level)).reshape(32, 8, 8)
+        got_q = np.asarray(dct.quantize(jnp.asarray(f.reshape(32, 64).T),
+                                        jnp.asarray(inter), q_level)).T.reshape(32, 8, 8)
         assert (want_q == got_q).all()
         want_d = np.stack([G.dequantize(t, bool(i), q_level) for t, i in zip(want_q, inter)])
-        got_d = np.asarray(dct.dequantize(jnp.asarray(want_q.reshape(32, 64)),
-                                          jnp.asarray(inter), q_level)).reshape(32, 8, 8)
+        got_d = np.asarray(dct.dequantize(jnp.asarray(want_q.reshape(32, 64).T),
+                                          jnp.asarray(inter), q_level)).T.reshape(32, 8, 8)
         assert (want_d == got_d).all()
 
     def test_idct_exact(self, rng):
         iq = rng.integers(-2047, 2048, (128, 8, 8)).astype(np.int32)
         want = np.stack([G.idct(t) for t in iq])
-        got = np.asarray(dct.idct(jnp.asarray(iq.reshape(128, 64)))).reshape(128, 8, 8)
+        got = np.asarray(dct.idct(jnp.asarray(iq.reshape(128, 64).T))).T.reshape(128, 8, 8)
         assert (want == got).all()
 
     @pytest.mark.parametrize("vl", [1, 3])
@@ -147,3 +147,15 @@ class TestChunkedScan:
         got = enc.encode(frames, 64, 64, pframes_count=1)
         seq = SequenceConfig(64, 64, 1)
         assert got == G.encode_sequence(cfg, seq, frames)
+
+
+def test_reciprocal_division_exhaustive():
+    """The intra quantiser divides a 16-bit value by INTRA_Q via f32 reciprocal
+    multiplication + floor; validate exactness over the entire dividend range."""
+    from fpga_mpeg2_encoder_tpu.core import tables as T
+    t = np.arange(65536, dtype=np.float32)
+    for w in np.unique(np.asarray(T.INTRA_Q)):
+        recip = np.float32((1.0 + 2.0 ** -21) / np.float32(w))
+        got = np.floor(t * recip).astype(np.int64)
+        want = np.arange(65536, dtype=np.int64) // int(w)
+        assert (got == want).all(), f"w={w}"
