@@ -44,11 +44,13 @@ def _funnel_shift(b: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s > 0, lo | hi, b)
 
 
-def _word_barrel(b: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
-    """Shift right by a dynamic per-node word count via log2 static steps."""
-    c = b.shape[-1]
+def _word_barrel(b: jnp.ndarray, words: jnp.ndarray, max_words: int) -> jnp.ndarray:
+    """Shift right by a dynamic per-node word count via log2 static steps.
+
+    max_words bounds the largest possible shift (the left operand's capacity),
+    so early merge levels need only one or two steps."""
     j = 0
-    while (1 << j) < c + 1:
+    while (1 << j) <= max_words:
         take = ((words >> j) & 1).astype(bool)[..., None]
         b = jnp.where(take, _shift_words_right(b, 1 << j), b)
         j += 1
@@ -68,7 +70,7 @@ def concat_bitstrings(a: jnp.ndarray, bl_a: jnp.ndarray,
     pad_b = [(0, 0)] * (b.ndim - 1) + [(0, out_words - cb)]
     b2 = jnp.pad(b, pad_b) if out_words > cb else b[..., :out_words]
     b2 = _funnel_shift(b2, bl_a)
-    b2 = _word_barrel(b2, (bl_a >> 5).astype(jnp.int32))
+    b2 = _word_barrel(b2, (bl_a >> 5).astype(jnp.int32), ca)
     return a2 | b2, bl_a + bl_b
 
 

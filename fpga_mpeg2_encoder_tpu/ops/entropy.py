@@ -43,17 +43,41 @@ _ZIG_INV_NP = np.asarray(T.ZIGZAG_INV)
 
 
 def _onehot_lookup(idx: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
-    """Exact table lookup via one-hot matmul: idx int32 in [0, K) -> int32 values.
+    """Exact table lookup without gathers: idx int32 in [0, K) -> int32 values.
 
-    table: numpy int array, values < 2**24, K rows."""
+    table: numpy int array, values < 2**24 (f32-exact).  The one-hot rides the
+    MXU in f32 (0/1 one-hot entries and the integer table values are exact, and
+    exactly one product is nonzero per output).  For K > 32 the key factors as
+    hi*16+lo: a 16-wide one-hot matmul against a (16, K/16) table produces every
+    hi candidate at once, then ceil(K/16) masked selects pick the right one -
+    the materialised one-hot shrinks K/16-fold."""
     k = table.shape[0]
-    planes = np.stack([table & 255, (table >> 8) & 255, (table >> 16) & 255],
-                      axis=1).astype(np.float32)
-    tab = jnp.asarray(planes, dtype=jnp.bfloat16)           # (K, 3)
-    oh = (idx[..., None] == jnp.arange(k)).astype(jnp.bfloat16)
-    r = jax.lax.dot_general(oh, tab, (((oh.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32).astype(jnp.int32)
-    return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16)
+    assert int(table.max(initial=0)) < (1 << 24)
+    # NOTE: TPU matmuls truncate f32 operands to bf16 at default precision, so
+    # table values are decomposed into byte planes (0..255, bf16-exact).
+    def planes_of(t):
+        return np.stack([t & 255, (t >> 8) & 255, (t >> 16) & 255], -1)
+    if k <= 32:
+        tab = jnp.asarray(planes_of(table).astype(np.float32), dtype=jnp.bfloat16)
+        oh = (idx[..., None] == jnp.arange(k)).astype(jnp.bfloat16)
+        r = jax.lax.dot_general(oh, tab, (((oh.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(jnp.int32)
+        return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16)
+    khi = -(-k // 16)
+    t2 = np.zeros((16, khi, 3), np.float32)
+    for kk in range(k):
+        t2[kk & 15, kk >> 4] = planes_of(np.asarray(table[kk]))
+    ohlo = ((idx & 15)[..., None] == jnp.arange(16)).astype(jnp.bfloat16)
+    p = jax.lax.dot_general(ohlo, jnp.asarray(t2.reshape(16, khi * 3),
+                                              dtype=jnp.bfloat16),
+                            (((ohlo.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = p.reshape(idx.shape + (khi, 3))
+    # hi selection: one fused multiply-reduce (exactly one nonzero term, f32 on
+    # the VPU - exact; no bf16 truncation risk outside the MXU)
+    ohhi = ((idx >> 4)[..., None] == jnp.arange(khi)).astype(jnp.float32)
+    out = (p * ohhi[..., None]).sum(-2).astype(jnp.int32)
+    return out[..., 0] | (out[..., 1] << 8) | (out[..., 2] << 16)
 
 
 # ---------------------------------------------------------------------------

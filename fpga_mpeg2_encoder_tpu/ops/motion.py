@@ -65,15 +65,16 @@ def _find_min_10(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _block_reduce_matmul(x: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """(H, W) nonneg int (values <= 255*bs) -> (H//bs, W//bs) block sums.
+    """(H, W) nonneg int (values <= 255) -> (H//bs, W//bs) block sums.
 
-    Column groups reduce on the MXU: x_bf16 @ block-diagonal 0/1 matrix, exact
-    because |x| <= 4095 < 2^8 per element... (entries <= 255 are bf16-exact and the
-    matmul accumulates in f32).  Row groups reduce with a cheap reshape-sum."""
+    Rows reduce first via a fused reshape-sum (no intermediate materialises), then
+    the column groups ride the MXU as one tiny matmul against a block-diagonal
+    0/1 matrix.  Exactness: row sums <= 255*bs < 2^24 are f32-exact, the 0/1
+    matrix is bf16-exact, and accumulation is f32."""
     h, w = x.shape
     b = (jnp.arange(w)[:, None] // bs == jnp.arange(w // bs)[None, :])
     cols = jnp.dot(x.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)          # (H, W//bs)
+                   preferred_element_type=jnp.float32)          # (H, W/bs)
     return cols.reshape(h // bs, bs, w // bs).sum(axis=1).astype(jnp.int32)
 
 
@@ -159,26 +160,33 @@ def estimate_and_predict(
     mvx_full = lin % n - yr
 
     # ---- intra activity metric (16-bit accumulator semantics) -----------------
-    cy32 = cur_y.astype(jnp.int32)
     pixsum = _block_reduce_matmul(cur_y.astype(jnp.int16), 16)   # <= 65280
     mean = (pixsum >> 8) & 0xFF
-    blk = cy32.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)   # (nby, nbx, 16, 16)
-    sad_mean = jnp.abs(blk - mean[:, :, None, None]).sum(axis=(2, 3))
+    blk = cy16.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)   # (nby,nbx,16,16) i16
+    sad_mean = jnp.sum(jnp.abs(blk - mean[:, :, None, None].astype(jnp.int16)),
+                       axis=(2, 3), dtype=jnp.int32)
     acc = (pixsum + sad_mean) & 0xFFFF
     intra_cost = jnp.where(acc < 4096, acc, 0xFFF)
 
     # ---- recentring: every MB's 18x18 window at its own full-pel mv -----------
     # (gather-free REF_SHIFT analog: sliding 48x48 windows + 13+13 masked selects)
-    prevp16 = jnp.pad(prev_y, 16).astype(jnp.int16)
-    t48 = _sliding_block_windows(prevp16, 16)               # (nby, nbx, 48, 48)
+    prevp16 = jnp.pad(prev_y, 16)                           # stay uint8: the 26
+    t48 = _sliding_block_windows(prevp16, 16)               # masked-select passes
+    # (nby, nbx, 48, 48)                                      move half the bytes
     # window starts at relative coord (mv - 1); rel -16 is window index 0
-    w18 = _align_windows(t48, mvy_full, mvx_full, yr, 18, 15).astype(jnp.int32)
+    w18 = _align_windows(t48, mvy_full, mvx_full, yr, 18, 15).astype(jnp.int16)
+
+    def m2(a, b):                       # int16 mean2/mean4 (values <= 1021)
+        return (1 + a + b) >> 1
+
+    def m4_(a, b, c, d):
+        return (jnp.int16(1) + a + b + c + d) >> 2
 
     full = w18
-    hh = mean2(w18[..., :, :-1], w18[..., :, 1:])           # (.., 18, 17)
-    vv = mean2(w18[..., :-1, :], w18[..., 1:, :])           # (.., 17, 18)
-    m4 = mean4(w18[..., :-1, :-1], w18[..., :-1, 1:],
-               w18[..., 1:, :-1], w18[..., 1:, 1:])         # (.., 17, 17)
+    hh = m2(w18[..., :, :-1], w18[..., :, 1:])              # (.., 18, 17)
+    vv = m2(w18[..., :-1, :], w18[..., 1:, :])              # (.., 17, 18)
+    m4 = m4_(w18[..., :-1, :-1], w18[..., :-1, 1:],
+             w18[..., 1:, :-1], w18[..., 1:, 1:])           # (.., 17, 17)
 
     def cand_grid(hy: int, hx: int) -> jnp.ndarray:
         ry, rx = (hy + 1) >> 1, (hx + 1) >> 1
@@ -194,7 +202,7 @@ def estimate_and_predict(
     over = jnp.int32(0x1000)
     vals = []
     for i9, (hy, hx) in enumerate([(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)]):
-        s = jnp.abs(blk - grids[i9]).sum(axis=(2, 3))
+        s = jnp.sum(jnp.abs(blk - grids[i9]), axis=(2, 3), dtype=jnp.int32)
         bad = jnp.zeros((nby, nbx), bool)
         if hx < 0:
             bad |= edge_l | (mvx_full == -yr)
@@ -217,25 +225,27 @@ def estimate_and_predict(
     mvx = jnp.where(is_iframe, 0, (mvx_full << 1) + hx_sel)
 
     # ---- luma prediction: selected half-pel grid, or 128 for intra ------------
-    pred_y = jnp.full((nby, nbx, 16, 16), 128, jnp.int32)
+    pred_y = jnp.full((nby, nbx, 16, 16), 128, jnp.int16)
     for i9 in range(9):
         pred_y = jnp.where((inter & (idx == i9))[:, :, None, None], grids[i9], pred_y)
+    pred_y = pred_y.astype(jnp.int32)
 
     # ---- chroma prediction -----------------------------------------------------
     cfy, cfx = mvy >> 2, mvx >> 2                           # full-pel chroma offset
     chy, chx = (mvy >> 1) & 1, (mvx >> 1) & 1
 
     def chroma_pred(plane: jnp.ndarray) -> jnp.ndarray:
-        pp = jnp.pad(plane, 8).astype(jnp.int16)
+        pp = jnp.pad(plane, 8)
         t24 = _sliding_block_windows(pp, 8)                 # (nby, nbx, 24, 24)
-        w9 = _align_windows(t24, cfy, cfx, ur, 9, 8).astype(jnp.int32)
+        w9 = _align_windows(t24, cfy, cfx, ur, 9, 8).astype(jnp.int16)
         p00 = w9[..., :8, :8]
-        ph = mean2(w9[..., :8, :8], w9[..., :8, 1:9])
-        pv = mean2(w9[..., :8, :8], w9[..., 1:9, :8])
-        pm = mean4(w9[..., :8, :8], w9[..., :8, 1:9], w9[..., 1:9, :8], w9[..., 1:9, 1:9])
+        ph = (1 + w9[..., :8, :8] + w9[..., :8, 1:9]) >> 1
+        pv = (1 + w9[..., :8, :8] + w9[..., 1:9, :8]) >> 1
+        pm = (jnp.int16(1) + w9[..., :8, :8] + w9[..., :8, 1:9]
+              + w9[..., 1:9, :8] + w9[..., 1:9, 1:9]) >> 2
         hyb = chy[:, :, None, None].astype(bool)
         hxb = chx[:, :, None, None].astype(bool)
         p = jnp.where(hyb & hxb, pm, jnp.where(hxb, ph, jnp.where(hyb, pv, p00)))
-        return jnp.where(inter[:, :, None, None], p, 128)
+        return jnp.where(inter[:, :, None, None], p, jnp.int16(128)).astype(jnp.int32)
 
     return MotionResult(inter, mvx, mvy, pred_y, chroma_pred(prev_u), chroma_pred(prev_v))
