@@ -46,7 +46,7 @@ def main():
     from fpga_mpeg2_encoder_tpu.core.bitstream import (
         BitWriter, sequence_header_chunks, SEQUENCE_END_CHUNKS)
 
-    w, h, nf = 1920, 1152, 24
+    w, h, nf = 1920, 1152, 48
     cfg = EncoderConfig(xl=7, yl=7, vector_level=3, q_level=2)
     frames = make_frames(w, h, nf)
 
@@ -58,7 +58,7 @@ def main():
     # the synthetic texture is entropy-heavy (~750 KB I-frames at q_level=2), so
     # budget caps are sized for it: 16 KB/slice, 1 MB/frame, 8 MB for the GOP
     kw = dict(yr=cfg.yr, ur=cfg.ur, q_level=cfg.q_level,
-              row_cap=4096, frame_cap=262144, seq_cap=2097152)
+              row_cap=4096, frame_cap=262144, seq_cap=4194304)
 
     def run(frames_y):
         return encode_gop_scan(frames_y, fu, fv, py, pc, pc, jnp.int32(0),
@@ -68,12 +68,12 @@ def main():
     # block_until_ready can return early, so (a) every rep gets genuinely
     # different frame content, (b) completion is forced by a scalar readback
     # (its ~25 ms tunnel round-trip per rep is charged against the encoder).
-    fys = [jnp.roll(fy, r, axis=0) for r in range(4)]
+    fys = [jnp.roll(fy, r, axis=0) for r in range(3)]
     jax.block_until_ready(fys)
     out = run(fys[0])                # warm-up / compile
     int(out[4])
 
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for r in range(1, reps + 1):
         out = run(fys[r])

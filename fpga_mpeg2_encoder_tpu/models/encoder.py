@@ -21,6 +21,7 @@ coefficient escape-coded).
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -28,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EncoderConfig, SequenceConfig
+from ..runtime.state import EncoderState
+from ..utils.logging import SequenceStats
 from ..core.bitstream import (
     BitWriter,
     sequence_header_chunks,
@@ -215,6 +218,37 @@ class Encoder:
         self._i_frame = 0
         self._frame_no = 0
         self._prev = None
+        self.stats = SequenceStats(width=seq.width, height=seq.height)
+
+    # ------------------------------------------------------------- checkpointing
+    def get_state(self) -> "EncoderState":
+        """Snapshot the complete inter-frame state (SURVEY.md section 5): recon
+        reference frame, GOP index, timecode counter, emitted bytes."""
+        seq = self._require_seq()
+        prev = None if self._prev is None else tuple(np.asarray(p) for p in self._prev)
+        return EncoderState(
+            width=seq.width, height=seq.height, pframes_count=seq.pframes_count,
+            i_frame=self._i_frame, frame_no=self._frame_no,
+            recon_y=None if prev is None else prev[0],
+            recon_u=None if prev is None else prev[1],
+            recon_v=None if prev is None else prev[2],
+            payload=b"".join(self._payload))
+
+    def set_state(self, state: "EncoderState") -> None:
+        """Resume a sequence from a checkpoint; continues bit-exactly."""
+        if self._seq is not None:
+            raise RuntimeError("sequence already active; call finish() first")
+        self._seq = SequenceConfig(state.width, state.height,
+                                   state.pframes_count).validate(self.config)
+        self._payload = [state.payload]
+        self._i_frame = state.i_frame
+        self._frame_no = state.frame_no
+        if state.recon_y is None:
+            self._prev = None
+        else:
+            self._prev = (jnp.asarray(state.recon_y), jnp.asarray(state.recon_u),
+                          jnp.asarray(state.recon_v))
+        self.stats = SequenceStats(width=state.width, height=state.height)
 
     def _zero_prev(self):
         seq = self._seq
@@ -224,6 +258,7 @@ class Encoder:
 
     def push_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
         """Feed one YUV 4:4:4 frame (uint8 (H, W) planes)."""
+        t_start = time.perf_counter()
         seq = self._require_seq()
         if y.shape != (seq.height, seq.width):
             raise ValueError(f"frame shape {y.shape} != {(seq.height, seq.width)}")
@@ -242,7 +277,10 @@ class Encoder:
                 frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows))
             assert not bool(ovf)
         self._prev = (ry, ru, rv)
-        self._payload.append(words_to_bytes(np.asarray(fw), int(fb)))
+        nbits = int(fb)
+        self._payload.append(words_to_bytes(np.asarray(fw), nbits))
+        self.stats.add(index=self._frame_no, i_frame=self._i_frame, bits=nbits,
+                       wall_s=time.perf_counter() - t_start)
         self._i_frame = 0 if self._i_frame >= seq.pframes_count else self._i_frame + 1
         self._frame_no += 1
 
@@ -269,7 +307,12 @@ class Encoder:
             ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gop_scan(*args, **kw, **caps)
             assert not bool(ovf)
         self._prev = (ry, ru, rv)
-        self._payload.append(words_to_bytes(np.asarray(sw), int(sb)))
+        chunk_bits = int(sb)
+        self._payload.append(words_to_bytes(np.asarray(sw), chunk_bits))
+        n = len(frames)
+        for k in range(n):
+            self.stats.add(index=self._frame_no + k,
+                           i_frame=-1, bits=chunk_bits // n, wall_s=0.0)
         self._i_frame = int(i_f)
         self._frame_no = int(fno)
 

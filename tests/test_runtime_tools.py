@@ -1,0 +1,159 @@
+"""Runtime/tooling tests: YUV IO, CLI encode/decode, checkpoint-resume, native
+bit-stitcher, stats."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fpga_mpeg2_encoder_tpu import Encoder, EncoderConfig, SequenceConfig
+from fpga_mpeg2_encoder_tpu.golden import encoder as G
+from fpga_mpeg2_encoder_tpu.runtime.state import EncoderState
+from fpga_mpeg2_encoder_tpu.utils import native, yuv
+
+
+class TestYuvIO:
+    def test_roundtrip(self, tmp_path, video_factory):
+        frames = video_factory(64, 64, 3)
+        p = str(tmp_path / "a.yuv")
+        yuv.write_frames(p, frames)
+        assert yuv.frame_count(p, 64, 64) == 3
+        back = yuv.read_all(p, 64, 64)
+        for a, b in zip(frames, back):
+            assert all((x == y).all() for x, y in zip(a, b))
+
+    def test_partial_tail_ignored(self, tmp_path, video_factory):
+        frames = video_factory(64, 64, 2)
+        p = str(tmp_path / "a.yuv")
+        yuv.write_frames(p, frames)
+        with open(p, "ab") as f:
+            f.write(b"\x00" * 100)   # garbage tail
+        assert len(yuv.read_all(p, 64, 64)) == 2
+
+
+class TestCli:
+    def _run(self, args):
+        return subprocess.run(
+            [sys.executable, "-m", "fpga_mpeg2_encoder_tpu.cli.encode"] + args,
+            capture_output=True, text=True, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"})
+
+    def test_encode_decode_cli(self, tmp_path, video_factory):
+        frames = video_factory(64, 64, 3)
+        src = str(tmp_path / "in.yuv")
+        dst = str(tmp_path / "out.m2v")
+        yuv.write_frames(src, frames)
+        r = self._run(["--input", src, "--size", "64x64", "--out", dst,
+                       "--pframes", "2", "--quiet", "--stats"])
+        assert r.returncode == 0, r.stderr
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["frames"] == 3
+        # matches the golden model byte for byte
+        gold = G.encode_sequence(EncoderConfig(xl=4, yl=4),
+                                 SequenceConfig(64, 64, 2), frames)
+        assert open(dst, "rb").read() == gold
+        # decode CLI
+        r2 = subprocess.run(
+            [sys.executable, "-m", "fpga_mpeg2_encoder_tpu.cli.decode",
+             "--input", dst, "--ref", src],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"})
+        assert r2.returncode == 0, r2.stderr
+        info = json.loads(r2.stdout)
+        assert info["frames"] == 3 and info["types"] == "IPP"
+        assert info["psnr_y_mean"] > 25
+
+    def test_cli_rejects_bad_size(self, tmp_path):
+        src = str(tmp_path / "in.yuv")
+        open(src, "wb").write(b"\x00" * (100 * 100 * 3))
+        r = self._run(["--input", src, "--size", "100x100",
+                       "--out", str(tmp_path / "o.m2v")])
+        assert r.returncode != 0
+
+
+class TestCheckpointResume:
+    def test_resume_bit_exact(self, tmp_path, video_factory):
+        frames = video_factory(64, 64, 6)
+        cfg = EncoderConfig(xl=4, yl=4)
+        want = Encoder(cfg).encode(frames, 64, 64, 2)
+
+        enc = Encoder(cfg)
+        enc.start_sequence(SequenceConfig(64, 64, 2))
+        for f in frames[:3]:
+            enc.push_frame(*f)
+        ckpt = str(tmp_path / "state.npz")
+        enc.get_state().save(ckpt)
+        enc._seq = None          # abandon this encoder mid-sequence
+        enc._reset_sequence_state()
+
+        enc2 = Encoder(cfg)
+        enc2.set_state(EncoderState.load(ckpt))
+        for f in frames[3:]:
+            enc2.push_frame(*f)
+        assert enc2.finish() == want
+
+    def test_state_before_first_frame(self, video_factory):
+        cfg = EncoderConfig(xl=4, yl=4)
+        enc = Encoder(cfg)
+        enc.start_sequence(SequenceConfig(64, 64, 2))
+        st = enc.get_state()
+        assert st.recon_y is None and st.frame_no == 0
+        enc2 = Encoder(cfg)
+        enc2._seq = None
+        enc2.set_state(st)
+        frames = video_factory(64, 64, 2)
+        for f in frames:
+            enc2.push_frame(*f)
+        assert enc2.finish() == Encoder(cfg).encode(frames, 64, 64, 2)
+
+
+class TestNativeStitcher:
+    def test_matches_bitwriter(self, rng):
+        if not native.available():
+            pytest.skip("no g++ toolchain")
+        from fpga_mpeg2_encoder_tpu.core.bitstream import BitWriter
+        n = 5000
+        lens = rng.integers(0, 25, n).astype(np.int32)
+        lens[rng.random(n) < 0.5] = 0
+        codes = np.array([rng.integers(0, 1 << max(l, 1)) for l in lens],
+                         dtype=np.uint32)
+        align = (rng.random(n) < 0.01).astype(np.uint8)
+        got, bits = native.pack_symbols_host(codes, lens, align)
+        bw = BitWriter()
+        for c, l, a in zip(codes, lens, align):
+            if a:
+                bw.align()
+            bw.put(int(c), int(l))
+        assert bits == bw.bit_length
+        assert got == bw.to_bytes_aligned()
+
+    def test_fallback_matches(self, rng):
+        # force the fallback path and compare against the native one
+        from fpga_mpeg2_encoder_tpu.utils import native as nat
+        if not nat.available():
+            pytest.skip("no g++ toolchain")
+        n = 500
+        lens = rng.integers(1, 25, n).astype(np.int32)
+        codes = np.array([rng.integers(0, 1 << l) for l in lens], dtype=np.uint32)
+        a, bits_a = nat.pack_symbols_host(codes, lens)
+        lib, tried = nat._lib, nat._tried
+        try:
+            nat._lib, nat._tried = None, True
+            b, bits_b = nat.pack_symbols_host(codes, lens)
+        finally:
+            nat._lib, nat._tried = lib, tried
+        assert a == b and bits_a == bits_b
+
+
+def test_stats_summary(video_factory):
+    cfg = EncoderConfig(xl=4, yl=4)
+    enc = Encoder(cfg)
+    enc.start_sequence(SequenceConfig(64, 64, 2))
+    for f in video_factory(64, 64, 3):
+        enc.push_frame(*f)
+    s = enc.stats.summary()
+    assert s["frames"] == 3 and s["bytes"] > 0 and s["avg_bits_per_frame"] > 0
+    enc.finish()
