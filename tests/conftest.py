@@ -3,15 +3,15 @@ import os
 # Tests run on a virtual 8-device CPU mesh so CI needs no TPU (the axon TPU plugin in
 # this image ignores the JAX_PLATFORMS env var, so force it via jax.config too; this
 # also avoids deadlocking on the single TPU tunnel when tests run alongside bench).
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
-
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("TPU_EXACTNESS") != "1":
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

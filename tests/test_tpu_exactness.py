@@ -45,3 +45,25 @@ def test_tpu_chunked_equals_streaming():
     a = enc.encode(frames, 64, 64, 2, chunk_frames=6)
     b = enc.encode(frames, 64, 64, 2)
     assert a == b
+
+
+@tpu_only
+def test_pallas_sad_volume_matches_xla():
+    import jax.numpy as jnp
+    from fpga_mpeg2_encoder_tpu.ops.pallas.sad import sad_volume_pallas
+
+    h, w, yr = 64, 128, 6
+    rng = np.random.default_rng(3)
+    cur = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    prev = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    got = np.asarray(sad_volume_pallas(cur, prev, yr))
+
+    c = cur.astype(jnp.int32)
+    p = jnp.pad(prev, yr).astype(jnp.int32)
+    want = []
+    for dy in range(-yr, yr + 1):
+        for dx in range(-yr, yr + 1):
+            win = jax.lax.dynamic_slice(p, (yr + dy, yr + dx), (h, w))
+            want.append(np.asarray(
+                jnp.abs(c - win).reshape(h // 16, 16, w // 16, 16).sum(axis=(1, 3))))
+    assert (np.stack(want) == got).all()
