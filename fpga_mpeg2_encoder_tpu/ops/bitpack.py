@@ -86,13 +86,26 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int
     c = jnp.pad(codes.astype(jnp.uint32), pad)
     l = jnp.pad(lens.astype(jnp.int32), pad)
 
-    # level 0: one word per symbol, left-justified
-    sh = jnp.clip(32 - l, 0, 31).astype(jnp.uint32)
-    buf = jnp.where(l > 0, c << sh, jnp.uint32(0))[..., None]   # (..., S, 1)
-    bl = l
+    # fused levels 0+1: pack symbol PAIRS (<=48 bits) into 2-word nodes with
+    # direct shift arithmetic, skipping one full pass over the widest level
+    c0, c1 = c[..., 0::2], c[..., 1::2]
+    l0, l1 = l[..., 0::2], l[..., 1::2]
+    l01 = l0 + l1
+    over = l01 > 32
+    t0 = jnp.where(l0 > 0, c0 << jnp.clip(32 - l0, 0, 31).astype(jnp.uint32),
+                   jnp.uint32(0))
+    t1in = jnp.where(l1 > 0,
+                     c1 << jnp.clip(32 - l01, 0, 31).astype(jnp.uint32),
+                     jnp.uint32(0))
+    w0 = t0 | jnp.where(over, c1 >> jnp.clip(l01 - 32, 0, 31).astype(jnp.uint32),
+                        t1in)
+    w1 = jnp.where(over, c1 << jnp.clip(64 - l01, 0, 31).astype(jnp.uint32),
+                   jnp.uint32(0))
+    buf = jnp.stack([w0, w1], axis=-1)                          # (..., S/2, 2)
+    bl = l01
 
-    m = s_pad
-    level = 0
+    m = s_pad // 2
+    level = 1
     while m > 1:
         m //= 2
         level += 1

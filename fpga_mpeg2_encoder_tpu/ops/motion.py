@@ -67,10 +67,10 @@ def _find_min_10(v: jnp.ndarray) -> jnp.ndarray:
 def _block_reduce_matmul(x: jnp.ndarray, bs: int) -> jnp.ndarray:
     """(H, W) nonneg int (values <= 255) -> (H//bs, W//bs) block sums.
 
-    Rows reduce first via a fused reshape-sum (no intermediate materialises), then
-    the column groups ride the MXU as one tiny matmul against a block-diagonal
-    0/1 matrix.  Exactness: row sums <= 255*bs < 2^24 are f32-exact, the 0/1
-    matrix is bf16-exact, and accumulation is f32."""
+    Column groups reduce on the MXU (x_bf16 @ block-diagonal 0/1 matrix; |x| <= 255
+    and 0/1 entries are bf16-exact, accumulation is f32), then the row groups
+    reduce with a cheap f32 reshape-sum.  Every partial sum stays below 2^24, so
+    the result is exact."""
     h, w = x.shape
     b = (jnp.arange(w)[:, None] // bs == jnp.arange(w // bs)[None, :])
     cols = jnp.dot(x.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
