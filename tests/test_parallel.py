@@ -93,3 +93,18 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@needs_8dev
+def test_batched_chunked_scan_bit_exact(video_factory):
+    from fpga_mpeg2_encoder_tpu.parallel.dp import BatchEncoder
+    cfg = EncoderConfig(xl=4, yl=4)
+    seq = SequenceConfig(64, 64, 2)
+    videos = [video_factory(64, 64, 6, kind=k) for k in
+              ["pan", "noise", "still", "pan", "noise", "still", "pan", "noise"]]
+    be = BatchEncoder(cfg, seq, batch=8, mesh=make_mesh(8))
+    be.push_chunks([v[:3] for v in videos])
+    be.push_chunks([v[3:] for v in videos])
+    streams = be.finish()
+    for b in range(8):
+        assert streams[b] == G.encode_sequence(cfg, seq, videos[b]), b
