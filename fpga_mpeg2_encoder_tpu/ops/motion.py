@@ -79,16 +79,18 @@ def _block_reduce_matmul(x: jnp.ndarray, bs: int) -> jnp.ndarray:
 
 
 def _sliding_block_windows(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """(Hp, Wp) padded plane (pad = bs each side) -> (nby, nbx, 3*bs, 3*bs) windows:
-    window [by, bx] covers rows/cols [16*by - bs, 16*by + 2*bs) of the unpadded
-    plane - a static 3x3-block sliding expansion (two concat-of-reshape passes)."""
+    """(Hp, Wp) plane padded by bs//2 each side -> (nby, nbx, 2*bs, 2*bs) windows:
+    window [by, bx] covers rows/cols [bs*by - bs/2, bs*by + 3*bs/2) of the
+    unpadded plane - a static 2x2-block sliding expansion (concat-of-reshapes).
+    This covers every recentering target (|mv| <= 3/8*bs plus the interpolation
+    halo) at half the footprint of a 3x3 expansion."""
     hp, wp = plane.shape
-    nby, nbx = hp // bs - 2, wp // bs - 2
+    nby, nbx = hp // bs - 1, wp // bs - 1
     r = plane.reshape(hp // bs, bs, wp)
-    rows = jnp.concatenate([r[:-2], r[1:-1], r[2:]], axis=1)    # (nby, 3bs, Wp)
-    c = rows.reshape(nby, 3 * bs, wp // bs, bs)
-    return jnp.concatenate([c[:, :, :-2], c[:, :, 1:-1], c[:, :, 2:]], axis=3) \
-        .transpose(0, 2, 1, 3)                                  # (nby, nbx, 3bs, 3bs)
+    rows = jnp.concatenate([r[:-1], r[1:]], axis=1)             # (nby, 2bs, Wp)
+    c = rows.reshape(nby, 2 * bs, wp // bs, bs)
+    return jnp.concatenate([c[:, :, :-1], c[:, :, 1:]], axis=3) \
+        .transpose(0, 2, 1, 3)                                  # (nby, nbx, 2bs, 2bs)
 
 
 def _align_windows(t: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.ndarray,
@@ -170,11 +172,11 @@ def estimate_and_predict(
 
     # ---- recentring: every MB's 18x18 window at its own full-pel mv -----------
     # (gather-free REF_SHIFT analog: sliding 48x48 windows + 13+13 masked selects)
-    prevp16 = jnp.pad(prev_y, 16)                           # stay uint8: the 26
-    t48 = _sliding_block_windows(prevp16, 16)               # masked-select passes
-    # (nby, nbx, 48, 48)                                      move half the bytes
-    # window starts at relative coord (mv - 1); rel -16 is window index 0
-    w18 = _align_windows(t48, mvy_full, mvx_full, yr, 18, 15).astype(jnp.int16)
+    prevp8 = jnp.pad(prev_y, 8)                             # stay uint8: the 26
+    t32 = _sliding_block_windows(prevp8, 16)                # masked-select passes
+    # (nby, nbx, 32, 32)                                      move half the bytes
+    # window starts at relative coord (mv - 1); rel -8 is window index 0
+    w18 = _align_windows(t32, mvy_full, mvx_full, yr, 18, 7).astype(jnp.int16)
 
     def m2(a, b):                       # int16 mean2/mean4 (values <= 1021)
         return (1 + a + b) >> 1
@@ -235,9 +237,9 @@ def estimate_and_predict(
     chy, chx = (mvy >> 1) & 1, (mvx >> 1) & 1
 
     def chroma_pred(plane: jnp.ndarray) -> jnp.ndarray:
-        pp = jnp.pad(plane, 8)
-        t24 = _sliding_block_windows(pp, 8)                 # (nby, nbx, 24, 24)
-        w9 = _align_windows(t24, cfy, cfx, ur, 9, 8).astype(jnp.int16)
+        pp = jnp.pad(plane, 4)
+        t16 = _sliding_block_windows(pp, 8)                 # (nby, nbx, 16, 16)
+        w9 = _align_windows(t16, cfy, cfx, ur, 9, 4).astype(jnp.int16)
         p00 = w9[..., :8, :8]
         ph = (1 + w9[..., :8, :8] + w9[..., :8, 1:9]) >> 1
         pv = (1 + w9[..., :8, :8] + w9[..., 1:9, :8]) >> 1
