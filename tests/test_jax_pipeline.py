@@ -159,3 +159,12 @@ def test_reciprocal_division_exhaustive():
         got = np.floor(t * recip).astype(np.int64)
         want = np.arange(65536, dtype=np.int64) // int(w)
         assert (got == want).all(), f"w={w}"
+
+
+def test_tile_count_not_multiple_of_8(video_factory):
+    # 80x80 -> 25 MBs * 6 tiles = 150 coefficients columns: exercises the
+    # kron-fold padding path in ops/dct.fdct (N % 8 != 0)
+    cfg = EncoderConfig(xl=5, yl=5)
+    frames = video_factory(80, 80, 3)
+    seq = SequenceConfig(80, 80, 1)
+    assert Encoder(cfg).encode(frames, 80, 80, 1) == G.encode_sequence(cfg, seq, frames)
