@@ -157,3 +157,11 @@ def test_stats_summary(video_factory):
     s = enc.stats.summary()
     assert s["frames"] == 3 and s["bytes"] > 0 and s["avg_bits_per_frame"] > 0
     enc.finish()
+
+
+def test_recon_chain_invariant(video_factory):
+    from fpga_mpeg2_encoder_tpu.runtime.invariants import verify_recon_chain
+    cfg = EncoderConfig(xl=4, yl=4)
+    rep = verify_recon_chain(cfg, SequenceConfig(64, 64, 2),
+                             video_factory(64, 64, 4), recheck_every=2)
+    assert rep["checkpoints_verified"] == 2
