@@ -168,3 +168,18 @@ def test_tile_count_not_multiple_of_8(video_factory):
     frames = video_factory(80, 80, 3)
     seq = SequenceConfig(80, 80, 1)
     assert Encoder(cfg).encode(frames, 80, 80, 1) == G.encode_sequence(cfg, seq, frames)
+
+
+def test_reference_fixture_size_288x208(video_factory):
+    """Parity at the reference testbench's first clip size (SIM/tb_mpeg2encoder.v:29).
+
+    The actual clip (SIM/data.zip) is not available in this environment; this
+    uses synthetic panning content at the same geometry."""
+    cfg = EncoderConfig(xl=7, yl=6, vector_level=3, q_level=2)   # tb parameters
+    frames = video_factory(288, 208, 3)
+    seq = SequenceConfig(288, 208, 23)
+    gold = G.encode_sequence(cfg, seq, frames)
+    got = Encoder(cfg).encode(frames, 288, 208, 23)
+    assert got == gold
+    dec = D.decode_sequence(got, cfg)
+    assert [p.coding_type for p in dec.pictures] == [1, 2, 2]
