@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Per-stage device profiling of the frame pipeline via scan ablation.
+
+This rig's runtime caches identical executions and `block_until_ready` can
+return early, so naive per-op timing lies.  The reliable method: build scan
+variants of the full multi-frame pipeline truncated after each stage (a
+checksum keeps everything live), run each with genuinely different content,
+force completion with a scalar readback, and report the min over several runs.
+Stage costs are the deltas between consecutive rows (each row also carries the
+~2 ms/frame readback+dispatch floor at nf=12).
+
+Run: python tools/profile_stages.py [stage ...]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import make_frames
+from fpga_mpeg2_encoder_tpu.models import encoder as M
+from fpga_mpeg2_encoder_tpu.ops import bitpack, colorspace, dct, entropy, motion
+
+W, H, NF = 1920, 1152, 12
+NBY, NBX = H // 16, W // 16
+STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full")
+
+
+def make_scan(stage):
+    def frame(yy, uu, vv, pyy, puu, pvv, i_f, fno):
+        y, u, v = colorspace.subsample_420(yy, uu, vv)
+        if stage == "subsample":
+            return pyy, puu, pvv, y.astype(jnp.int32).sum() + u.astype(jnp.int32).sum()
+        mr = motion.estimate_and_predict(y, u, v, pyy, puu, pvv, i_f == 0, 6, 3)
+        if stage == "motion":
+            return pyy, puu, pvv, (mr.pred_y.astype(jnp.int32).sum() + mr.mvx.sum()
+                                   + mr.pred_u.astype(jnp.int32).sum())
+        yb = M._blockify(y.astype(jnp.int32), 16)
+        ub = M._blockify(u.astype(jnp.int32), 8)
+        vb = M._blockify(v.astype(jnp.int32), 8)
+        cur_t = M._tiles(yb, ub, vb)
+        pred_t = M._tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+        resid = (cur_t - pred_t).reshape(-1, 64).T
+        inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+        q = dct.quantize(dct.fdct(resid), inter_t, 2)
+        rr = dct.idct(dct.dequantize(q, inter_t, 2))
+        recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rr, 0, 255).T \
+            .reshape(NBY, NBX, 6, 64)
+        ry = M._unblockify(M._untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+        ru = M._unblockify(recon_t[:, :, 4].reshape(NBY, NBX, 8, 8)).astype(jnp.uint8)
+        rv = M._unblockify(recon_t[:, :, 5].reshape(NBY, NBX, 8, 8)).astype(jnp.uint8)
+        if stage == "dct":
+            return ry, ru, rv, q.sum()
+        fs = entropy.symbolize_frame(q.T.reshape(NBY, NBX, 6, 64), mr.inter,
+                                     mr.mvx, mr.mvy, i_f, fno, 2)
+        if stage == "symbolize":
+            return ry, ru, rv, fs.codes.astype(jnp.int32).sum() + fs.lens.sum()
+        rw, rb = bitpack.pack_symbols(fs.codes, fs.lens, 4096)
+        if stage == "pack":
+            return ry, ru, rv, rw.astype(jnp.int32).sum() + rb.sum()
+        fwd, fb = bitpack.merge_rows(rw, bitpack.align_bytes(rb), 262144)
+        if stage == "merge":
+            return ry, ru, rv, fwd.astype(jnp.int32).sum() + fb
+        return ry, ru, rv, (fwd, fb)
+
+    def body(carry, xs):
+        pyy, puu, pvv, sw, sb, i_f, fno = carry
+        out = frame(*xs, pyy, puu, pvv, i_f, fno)
+        if stage == "full":
+            ry, ru, rv, (fwd, fb) = out
+            sw, sb = bitpack.concat_bitstrings(sw, sb, fwd, fb, 2097152)
+        else:
+            ry, ru, rv, chk = out
+            sb = sb + chk.astype(jnp.int32)
+        return (ry, ru, rv, sw, sb, jnp.where(i_f >= 23, 0, i_f + 1), fno + 1), None
+
+    @jax.jit
+    def run(fy, fu, fv, py, pc1, pc2, salt):
+        sw0 = jnp.zeros(2097152, jnp.uint32)
+        c0 = (py, pc1, pc2, sw0, salt, jnp.int32(0), jnp.int32(0))
+        c, _ = jax.lax.scan(body, c0, (fy, fu, fv))
+        return c[3], c[4]
+
+    return run
+
+
+def main(stages):
+    frames = make_frames(W, H, NF)
+    fy = jnp.asarray(np.stack([f[0] for f in frames]))
+    fu = jnp.asarray(np.stack([f[1] for f in frames]))
+    fv = jnp.asarray(np.stack([f[2] for f in frames]))
+    py = jnp.zeros((H, W), jnp.uint8)
+    pc = jnp.zeros((H // 2, W // 2), jnp.uint8)
+    fys = [jnp.roll(fy, r, axis=0) for r in range(1, 6)]
+    jax.block_until_ready(fys)
+    for stage in stages:
+        run = make_scan(stage)
+        out = run(fy, fu, fv, py, pc, pc, jnp.int32(0))
+        _ = int(out[1])
+        ts = []
+        for r in range(5):
+            t0 = time.perf_counter()
+            out = run(fys[r], fu, fv, py, pc, pc, jnp.int32(r))
+            _ = int(out[1])
+            ts.append((time.perf_counter() - t0) / NF * 1000)
+        ts.sort()
+        print(f"scan through {stage:10s}: min {ts[0]:7.2f}  med {ts[2]:7.2f} ms/frame",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or STAGES)
