@@ -84,7 +84,7 @@ def main():
         int(out[4])                  # force completion
         best = min(best, time.perf_counter() - t0)
 
-    _, _, _, sw, sb, _, _, ovf = out
+    _, _, _, sw, sb, _, _, ovf = out[:8]
     assert not bool(ovf), "payload budget overflow on bench content"
     bw = BitWriter()
     bw.put_chunks(sequence_header_chunks(w, h))

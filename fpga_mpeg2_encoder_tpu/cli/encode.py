@@ -57,8 +57,8 @@ def main(argv=None) -> int:
                    help="frames per device-resident scan chunk (1 = streaming)")
     p.add_argument("--stop-mode", default="clean",
                    choices=("clean", "coincident"),
-                   help="sequence-stop semantics (coincident pads a black frame, "
-                        "mirroring i_sequence_stop on the last pixel cycle)")
+                   help="sequence-stop semantics; both produce identical streams "
+                        "(stop on the last pixel cycle pads nothing, RTL:1048-1079)")
     p.add_argument("--stats", action="store_true", help="print JSON stats")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)

@@ -597,14 +597,27 @@ def encode_sequence(
 
     stop_mode:
       'clean'      - stop pulse after the last frame with input idle: no pad frame
-                     (the testbench flow, SIM/tb_mpeg2encoder.v:249-252; indices have
-                     not wrapped so SEQ_ENDING ends immediately, RTL:1048-1058).
-      'coincident' - stop asserted on the very last pixel cycle: indices wrap, one
-                     full black pad frame is encoded (RTL:1070-1083).
-      'partial'    - the last entry of frames444 is a partial frame of which only the
-                     first ``partial_groups`` 4-pixel groups (raster order) are real;
-                     the remainder is padded black and the frame is encoded normally.
+                     (the testbench flow, SIM/tb_mpeg2encoder.v:249-252).
+      'coincident' - stop asserted on the very cycle the frame's last 4-pixel group
+                     is accepted.  Identical stream to 'clean': the raster counters
+                     (a_x4, a_y) are the index of the group accepted THIS cycle, so
+                     after the last group they read (max_x4, max_y) and wrap only
+                     when the NEXT frame's first group is accepted (RTL:1070-1079).
+                     SEQ_ENDING therefore sees a completed frame and transitions to
+                     SEQ_ENDED immediately - no pad frame (RTL:1048-1058).
+      'partial'    - stop asserted while a frame is partially fed: the first
+                     ``partial_groups`` (>= 1) 4-pixel groups (raster order) of the
+                     last frames444 entry are real, the remainder is padded black
+                     (Y=0, U=V=128, RTL:1043-1044) and the frame is encoded
+                     normally.  ``partial_groups=1`` is the RTL corner where stop
+                     coincides with the FIRST group of a new frame: that group's 4
+                     real pixels are in the stream and the rest of the frame is pad.
+                     A fully-black pad frame can never occur: SEQ_ENDING is only
+                     reachable after at least one group was accepted.
     """
+    if stop_mode == "partial" and partial_groups < 1:
+        raise ValueError("partial_groups must be >= 1 (SEQ_ENDING is only "
+                         "reachable after a group was accepted, RTL:1081-1093)")
     seq = seq.validate(cfg)
     w, h = seq.width, seq.height
     bw = BitWriter()
@@ -618,8 +631,6 @@ def encode_sequence(
             mask = np.repeat(flat_mask, 4, axis=1)
             yy[mask], uu[mask], vv[mask] = 0, 128, 128
         plan.append(subsample_420(yy, uu, vv))
-    if stop_mode == "coincident":
-        plan.append(black_frame_420(w, h))
 
     tc = Timecode()
     prev = None

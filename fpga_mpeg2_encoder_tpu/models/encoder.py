@@ -132,16 +132,17 @@ def encode_gop_scan_core(
             yy, uu, vv, py, pu, pv, i_f, fno,
             yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap)
         seq_w, seq_b = bitpack.concat_bitstrings(seq_w, seq_b, fw, fb, seq_cap)
-        i_f = jnp.where(i_f >= pframes_count, 0, i_f + 1)
-        return (ry, ru, rv, seq_w, seq_b, i_f, fno + 1, ovf | o), None
+        i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
+        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
 
     seq_w0 = jnp.zeros((seq_cap,), jnp.uint32)
     carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.int32(0),
               i_frame0, frame_no0, jnp.asarray(False))
-    carry, _ = jax.lax.scan(body, carry0, (frames_y, frames_u, frames_v), length=f)
+    carry, (frame_bits, frame_ifs) = jax.lax.scan(
+        body, carry0, (frames_y, frames_u, frames_v), length=f)
     py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
     ovf = ovf | (seq_b > 32 * seq_cap)
-    return py, pu, pv, seq_w, seq_b, i_f, fno, ovf
+    return py, pu, pv, seq_w, seq_b, i_f, fno, ovf, frame_bits, frame_ifs
 
 
 encode_gop_scan = jax.jit(
@@ -197,8 +198,7 @@ class Encoder:
                 fixed[last] = self._pad_partial(fixed[last], partial_groups)
             for i in range(0, len(fixed), chunk_frames):
                 self.push_chunk(fixed[i:i + chunk_frames])
-            return self.finish(stop_mode="coincident" if stop_mode == "coincident"
-                               else "clean")
+            return self.finish()
         for idx, f in enumerate(frames444):
             if stop_mode == "partial" and idx == last:
                 self.push_frame(*self._pad_partial(f, partial_groups))
@@ -298,34 +298,35 @@ class Encoder:
                     seq_cap=self.frame_cap * max(1, len(frames) // 4))
         args = (fy, fu, fv, *self._prev, jnp.int32(self._i_frame),
                 jnp.int32(self._frame_no), jnp.int32(seq.pframes_count))
-        ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gop_scan(*args, **kw, **caps)
+        ry, ru, rv, sw, sb, i_f, fno, ovf, fbits, fifs = encode_gop_scan(
+            *args, **kw, **caps)
         if bool(ovf):
             caps = dict(row_cap=entropy.slice_words_bound(seq.mb_cols),
                         frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
                         seq_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows)
                         * len(frames))
-            ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gop_scan(*args, **kw, **caps)
+            ry, ru, rv, sw, sb, i_f, fno, ovf, fbits, fifs = encode_gop_scan(
+                *args, **kw, **caps)
             assert not bool(ovf)
         self._prev = (ry, ru, rv)
         chunk_bits = int(sb)
         self._payload.append(words_to_bytes(np.asarray(sw), chunk_bits))
-        n = len(frames)
-        for k in range(n):
-            self.stats.add(index=self._frame_no + k,
-                           i_frame=-1, bits=chunk_bits // n, wall_s=0.0)
+        fbits_h, fifs_h = np.asarray(fbits), np.asarray(fifs)
+        for k in range(len(frames)):
+            self.stats.add(index=self._frame_no + k, i_frame=int(fifs_h[k]),
+                           bits=int(fbits_h[k]), wall_s=0.0)
         self._i_frame = int(i_f)
         self._frame_no = int(fno)
 
     def finish(self, stop_mode: str = "clean") -> bytes:
-        """End the sequence (i_sequence_stop semantics) and return the stream."""
-        seq = self._require_seq()
-        if stop_mode == "coincident":
-            # stop on the last pixel cycle: indices wrap, a full black frame is
-            # padded and encoded (RTL:1048-1083)
-            w, h = seq.width, seq.height
-            black = (np.zeros((h, w), np.uint8), np.full((h, w), 128, np.uint8),
-                     np.full((h, w), 128, np.uint8))
-            self.push_frame(*black)
+        """End the sequence (i_sequence_stop semantics) and return the stream.
+
+        'clean' and 'coincident' produce identical streams: the RTL's raster
+        counters index the group accepted THIS cycle, so stop asserted on the
+        last pixel cycle finds the frame complete and pads nothing
+        (RTL:1048-1058, 1070-1079).  Mid-frame stops are expressed by pushing a
+        partially-fed frame (``encode(stop_mode='partial')``)."""
+        self._require_seq()
         bw = BitWriter()
         bw.put_chunks(SEQUENCE_END_CHUNKS)
         self._payload.append(bw.to_bytes_aligned())
@@ -349,6 +350,9 @@ class Encoder:
         return self._seq
 
     def _pad_partial(self, frame, partial_groups: int):
+        if partial_groups < 1:
+            raise ValueError("partial_groups must be >= 1 (SEQ_ENDING is only "
+                             "reachable after a group was accepted, RTL:1081-1093)")
         seq = self._require_seq()
         h, w = seq.height, seq.width
         y, u, v = (np.array(p, copy=True) for p in frame)

@@ -26,6 +26,7 @@ All arithmetic is integer-exact against the golden model.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -33,6 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .colorspace import mean2, mean4
+
+# full-pel SAD volume implementation: "pallas" (VMEM-resident kernel, reads the
+# frame once per strip), "xla" (169 statically shifted whole-frame diffs), or
+# "auto" (pallas on TPU, xla elsewhere).  Both are bit-exact; see
+# ops/pallas/sad.py and tests/test_tpu_exactness.py.
+_SAD_IMPL = os.environ.get("FPGA_MPEG2_SAD_IMPL", "auto")
 
 
 class MotionResult(NamedTuple):
@@ -124,16 +131,24 @@ def estimate_and_predict(
     nby, nbx = h // 16, w // 16
 
     cy16 = cur_y.astype(jnp.int16)
-    prevp = jnp.pad(prev_y, yr).astype(jnp.int16)
 
-    # ---- full-pel SAD volume: static shifts + MXU block reduction -------------
-    sads = []
-    for dy in range(-yr, yr + 1):
-        for dx in range(-yr, yr + 1):
-            win = jax.lax.dynamic_slice(prevp, (yr + dy, yr + dx), (h, w))
-            d = jnp.abs(cy16 - win)
-            sads.append(_block_reduce_matmul(d, 16))
-    sad = jnp.stack(sads)                                   # (169, nby, nbx)
+    # ---- full-pel SAD volume ---------------------------------------------------
+    use_pallas = _SAD_IMPL == "pallas" or (
+        _SAD_IMPL == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        # VMEM-resident Pallas kernel: frame read once per strip (ops/pallas/sad.py)
+        from .pallas.sad import sad_volume_pallas
+        sad = sad_volume_pallas(cur_y, prev_y, yr)          # (169, nby, nbx)
+    else:
+        # XLA formulation: static shifts + MXU block reduction
+        prevp = jnp.pad(prev_y, yr).astype(jnp.int16)
+        sads = []
+        for dy in range(-yr, yr + 1):
+            for dx in range(-yr, yr + 1):
+                win = jax.lax.dynamic_slice(prevp, (yr + dy, yr + dx), (h, w))
+                d = jnp.abs(cy16 - win)
+                sads.append(_block_reduce_matmul(d, 16))
+        sad = jnp.stack(sads)                               # (169, nby, nbx)
 
     n = 2 * yr + 1
     dyi = (jnp.arange(n * n) // n) - yr

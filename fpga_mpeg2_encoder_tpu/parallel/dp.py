@@ -118,6 +118,8 @@ class BatchEncoder:
                 *args, **self._kw(),
                 row_cap=entropy.slice_words_bound(self.seq.mb_cols),
                 frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows))
+            assert not bool(np.asarray(ovf).any()), \
+                "frame exceeded the analytic worst-case buffer bound"
         self._prev = (ry, ru, rv)
         fw_h, fb_h = np.asarray(fw), np.asarray(fb)
         for b in range(self.batch):
@@ -138,7 +140,7 @@ class BatchEncoder:
                 self._put(self._i_frame), self._put(self._frame_no), pf)
         caps = dict(row_cap=self.row_cap, frame_cap=self.frame_cap,
                     seq_cap=self.frame_cap * max(1, n_frames // 4))
-        ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gops_batched(
+        ry, ru, rv, sw, sb, i_f, fno, ovf, _, _ = encode_gops_batched(
             *args, **self._kw(), **caps)
         if bool(np.asarray(ovf).any()):
             caps = dict(
@@ -146,8 +148,10 @@ class BatchEncoder:
                 frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows),
                 seq_cap=entropy.frame_words_bound(self.seq.mb_cols,
                                                   self.seq.mb_rows) * n_frames)
-            ry, ru, rv, sw, sb, i_f, fno, ovf = encode_gops_batched(
+            ry, ru, rv, sw, sb, i_f, fno, ovf, _, _ = encode_gops_batched(
                 *args, **self._kw(), **caps)
+            assert not bool(np.asarray(ovf).any()), \
+                "chunk exceeded the analytic worst-case buffer bound"
         self._prev = (ry, ru, rv)
         sw_h, sb_h = np.asarray(sw), np.asarray(sb)
         for b in range(self.batch):

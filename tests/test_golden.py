@@ -176,15 +176,16 @@ class TestStreamRoundtrip:
         assert [p.coding_type for p in dec.pictures] == [1, 2, 2, 1, 2, 2, 1]
         assert [p.temporal_reference for p in dec.pictures] == [0, 1, 2, 0, 1, 2, 0]
 
-    def test_coincident_stop_adds_black_frame(self, video_factory):
+    def test_coincident_stop_equals_clean(self, video_factory):
+        # stop on the last pixel cycle: the raster counters still read
+        # (max_x4, max_y) so SEQ_ENDING pads nothing (RTL:1048-1058, 1070-1079)
         cfg = EncoderConfig(xl=4, yl=4)
         seq = SequenceConfig(width=64, height=64, pframes_count=8)
         frames = video_factory(64, 64, 3)
-        _, dec = roundtrip(cfg, seq, frames, stop_mode="coincident")
-        assert len(dec.pictures) == 4
-        last = dec.pictures[-1]
-        # black pad frame: Y~0, U~V~128 after coding loss; recon must be bit-exact though
-        assert last.y.mean() < 4 and abs(int(last.u.mean()) - 128) < 4
+        s_clean, dec = roundtrip(cfg, seq, frames, stop_mode="clean")
+        s_coin, _ = roundtrip(cfg, seq, frames, stop_mode="coincident")
+        assert s_clean == s_coin
+        assert len(dec.pictures) == 3
 
     def test_partial_stop_pads_frame(self, video_factory):
         cfg = EncoderConfig(xl=4, yl=4)

@@ -159,6 +159,30 @@ def test_stats_summary(video_factory):
     enc.finish()
 
 
+def test_stats_equal_between_chunked_and_streaming(video_factory):
+    """Chunked per-frame stats come from the scan itself (real per-frame bit
+    counts and GOP positions), not an average - they must equal streaming mode's."""
+    cfg = EncoderConfig(xl=4, yl=4)
+    frames = video_factory(64, 64, 5)
+
+    enc_s = Encoder(cfg)
+    enc_s.start_sequence(SequenceConfig(64, 64, 2))
+    for f in frames:
+        enc_s.push_frame(*f)
+    stream_s = enc_s.finish()
+
+    enc_c = Encoder(cfg)
+    enc_c.start_sequence(SequenceConfig(64, 64, 2))
+    enc_c.push_chunk(frames[:3])
+    enc_c.push_chunk(frames[3:])
+    stream_c = enc_c.finish()
+
+    assert stream_s == stream_c
+    a = [(f.index, f.i_frame, f.bits) for f in enc_s.stats.frames]
+    b = [(f.index, f.i_frame, f.bits) for f in enc_c.stats.frames]
+    assert a == b
+
+
 def test_recon_chain_invariant(video_factory):
     from fpga_mpeg2_encoder_tpu.runtime.invariants import verify_recon_chain
     cfg = EncoderConfig(xl=4, yl=4)
