@@ -40,6 +40,8 @@ from ..ops import bitpack, colorspace, dct, entropy, motion
 
 DEFAULT_ROW_CAP = 2048       # words/slice budget (8 KB)
 DEFAULT_FRAME_CAP = 65536    # words/frame budget (256 KB)
+DEFAULT_BUDGET_BPS = 8       # pack-tree statistical level budget, bits/symbol-slot
+                             # (0 = worst-case widths; see bitpack.pack_symbols)
 
 
 def _blockify(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -71,6 +73,7 @@ def encode_frame_core(
     i_frame: jnp.ndarray,                                      # scalar int32
     frame_no: jnp.ndarray,                                     # scalar int32 (timecode)
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int,
+    budget_bps: int = DEFAULT_BUDGET_BPS,
 ):
     """Un-jitted single-frame pipeline.  Returns (recon_y, recon_u, recon_v,
     frame_words (frame_cap,) uint32, frame_bits, overflow flag)."""
@@ -100,16 +103,16 @@ def encode_frame_core(
 
     sym = entropy.symbolize_frame(q.T.reshape(nby, nbx, 6, 64), mr.inter,
                                   mr.mvx, mr.mvy, i_frame, frame_no, q_level)
-    row_words, row_bits = bitpack.pack_symbols(sym.codes, sym.lens, row_cap)
-    row_bits_a = bitpack.align_bytes(row_bits)
-    fwords, fbits = bitpack.merge_rows(row_words, row_bits_a, frame_cap)
-    overflow = (row_bits > 32 * row_cap).any() | (fbits > 32 * frame_cap)
+    row_words, row_bits, pack_ovf = bitpack.pack_symbols(
+        sym.codes, sym.lens, row_cap, budget_bps=budget_bps)
+    fwords, fbits = bitpack.merge_rows(row_words, row_bits, frame_cap)
+    overflow = pack_ovf | (row_bits > 32 * row_cap).any() | (fbits > 32 * frame_cap)
     return recon_y, recon_u, recon_v, fwords, fbits, overflow
 
 
 encode_frame_device = jax.jit(
     encode_frame_core,
-    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "budget_bps"),
 )
 
 
@@ -119,6 +122,7 @@ def encode_gop_scan_core(
     i_frame0: jnp.ndarray, frame_no0: jnp.ndarray,
     pframes_count: jnp.ndarray,
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
+    budget_bps: int = DEFAULT_BUDGET_BPS,
 ):
     """Device-resident multi-frame encode: lax.scan over frames, accumulating the
     packed payload in one HBM buffer.  One upload of the frame stack, one download
@@ -130,7 +134,8 @@ def encode_gop_scan_core(
         yy, uu, vv = xs
         ry, ru, rv, fw, fb, o = encode_frame_core(
             yy, uu, vv, py, pu, pv, i_f, fno,
-            yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap)
+            yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap,
+            budget_bps=budget_bps)
         seq_w, seq_b = bitpack.concat_bitstrings(seq_w, seq_b, fw, fb, seq_cap)
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
         return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
@@ -147,7 +152,8 @@ def encode_gop_scan_core(
 
 encode_gop_scan = jax.jit(
     encode_gop_scan_core,
-    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap",
+                     "budget_bps"),
 )
 
 
@@ -271,10 +277,12 @@ class Encoder:
             *args, **kw, row_cap=self.row_cap, frame_cap=self.frame_cap)
         if bool(ovf):
             # rare: frame exceeded the budget caps; redo with worst-case buffers
+            # (and the pack-tree level budget disabled)
             ry, ru, rv, fw, fb, ovf = encode_frame_device(
                 *args, **kw,
                 row_cap=entropy.slice_words_bound(seq.mb_cols),
-                frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows))
+                frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
+                budget_bps=0)
             assert not bool(ovf)
         self._prev = (ry, ru, rv)
         nbits = int(fb)
@@ -304,7 +312,7 @@ class Encoder:
             caps = dict(row_cap=entropy.slice_words_bound(seq.mb_cols),
                         frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
                         seq_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows)
-                        * len(frames))
+                        * len(frames), budget_bps=0)
             ry, ru, rv, sw, sb, i_f, fno, ovf, fbits, fifs = encode_gop_scan(
                 *args, **kw, **caps)
             assert not bool(ovf)

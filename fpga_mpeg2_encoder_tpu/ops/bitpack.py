@@ -74,17 +74,35 @@ def concat_bitstrings(a: jnp.ndarray, bl_a: jnp.ndarray,
     return a2 | b2, bl_a + bl_b
 
 
-def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack rows of (<=24-bit code, len) symbols into left-justified bit-strings.
+def _pad_last(x: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
+    if n == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n)
+    return jnp.pad(x, pad)
 
-    codes/lens: (..., S) -> (words (..., cap_words) uint32, bits (...,) int32).
+
+def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
+                 budget_bps: int = 0, budget_margin: int = 1536,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pack rows of (<=24-bit code, len) symbols into left-justified byte-aligned
+    bit-strings.
+
+    codes/lens: (..., S) -> (words (..., cap_words) uint32, bits (...,) int32
+    byte-aligned, overflow () bool).
+
+    Merge-level buffer widths are normally sized for the worst case (every
+    symbol 24 bits).  With ``budget_bps > 0`` a level whose nodes span 2**L
+    symbols is instead capped at ``(budget_bps * 2**L + budget_margin) / 32``
+    words - a statistical budget that cuts the tree's HBM traffic severalfold
+    on real content.  Dropping bits at a capped level is detected EXACTLY
+    (a concat drops bits iff its output length exceeds its width; lengths are
+    always exact) and reported in the overflow flag, on which callers re-encode
+    with worst-case buffers (models/encoder.py's retry path).
     """
     s = codes.shape[-1]
-    s_pad = 1 << max(1, (s - 1).bit_length())
-    pad = [(0, 0)] * (codes.ndim - 1) + [(0, s_pad - s)]
-    c = jnp.pad(codes.astype(jnp.uint32), pad)
-    l = jnp.pad(lens.astype(jnp.int32), pad)
+    c = _pad_last(codes.astype(jnp.uint32), s % 2)
+    l = _pad_last(lens.astype(jnp.int32), s % 2)
 
     # fused levels 0+1: pack symbol PAIRS (<=48 bits) into 2-word nodes with
     # direct shift arithmetic, skipping one full pass over the widest level
@@ -101,21 +119,28 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int
                         t1in)
     w1 = jnp.where(over, c1 << jnp.clip(64 - l01, 0, 31).astype(jnp.uint32),
                    jnp.uint32(0))
-    buf = jnp.stack([w0, w1], axis=-1)                          # (..., S/2, 2)
+    buf = jnp.stack([w0, w1], axis=-1)                          # (..., ceil(S/2), 2)
     bl = l01
 
-    m = s_pad // 2
     level = 1
-    while m > 1:
-        m //= 2
+    ovf = jnp.asarray(False)
+    while buf.shape[-2] > 1:
+        m = buf.shape[-2]
+        buf = _pad_last(buf, m % 2, axis=-2)
+        bl = _pad_last(bl, m % 2)
         level += 1
-        # nodes at this level cover 2**level input symbols of <=24 bits each
+        # nodes at this level cover up to 2**level input symbols of <=24 bits each
         need = (24 * (1 << level) + 31) // 32
         w = min(need, 2 * buf.shape[-1], cap_words)
+        if budget_bps > 0:
+            w = min(w, max((budget_bps * (1 << level) + budget_margin + 31) // 32, 2))
         a, la = buf[..., 0::2, :], bl[..., 0::2]
         b, lb = buf[..., 1::2, :], bl[..., 1::2]
         buf, bl = concat_bitstrings(a, la, b, lb, w)
-    return buf[..., 0, :], bl[..., 0]
+        if w < need:
+            ovf = ovf | (bl > 32 * w).any()
+    # byte-align (stage-V rule, RTL:2940-2943): zero padding is already present
+    return buf[..., 0, :], align_bytes(bl[..., 0]), ovf
 
 
 def align_bytes(bits: jnp.ndarray) -> jnp.ndarray:
@@ -129,16 +154,11 @@ def merge_rows(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
 
     Used for slice rows -> frame payload and frame payloads -> sequence payload;
     rows are byte-aligned by the caller so start-code alignment is preserved."""
-    r, c = words.shape[-2], words.shape[-1]
-    r_pad = 1 << max(1, (r - 1).bit_length())
-    if r_pad != r:
-        pad = [(0, 0)] * (words.ndim - 2) + [(0, r_pad - r), (0, 0)]
-        words = jnp.pad(words, pad)
-        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, r_pad - r)])
     buf, bl = words, bits
-    m = r_pad
-    while m > 1:
-        m //= 2
+    while buf.shape[-2] > 1:
+        m = buf.shape[-2]
+        buf = _pad_last(buf, m % 2, axis=-2)
+        bl = _pad_last(bl, m % 2)
         w = min(2 * buf.shape[-1], cap_words)
         buf, bl = concat_bitstrings(buf[..., 0::2, :], bl[..., 0::2],
                                     buf[..., 1::2, :], bl[..., 1::2], w)
@@ -153,5 +173,5 @@ def pack_frame(codes: jnp.ndarray, lens: jnp.ndarray,
     Each row (header group or slice) is packed independently and byte-aligned
     (start codes must begin on byte boundaries, RTL:2940-2943), then rows merge
     in a log2(R) tree."""
-    w, b = pack_symbols(codes, lens, row_cap_words)
-    return merge_rows(w, align_bytes(b), frame_cap_words)
+    w, b, _ = pack_symbols(codes, lens, row_cap_words)
+    return merge_rows(w, b, frame_cap_words)

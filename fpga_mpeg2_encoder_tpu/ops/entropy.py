@@ -68,22 +68,26 @@ def _onehot_lookup(idx: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
     for kk in range(k):
         t2[kk & 15, kk >> 4] = planes_of(np.asarray(table[kk]))
     ohlo = ((idx & 15)[..., None] == jnp.arange(16)).astype(jnp.bfloat16)
+    # byte-plane values are 0..255, bf16-exact, so the MXU result can live in
+    # bf16 end to end - halves the HBM traffic of the hi-selection pass
     p = jax.lax.dot_general(ohlo, jnp.asarray(t2.reshape(16, khi * 3),
                                               dtype=jnp.bfloat16),
                             (((ohlo.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.bfloat16)
     p = p.reshape(idx.shape + (khi, 3))
-    # hi selection: one fused multiply-reduce (exactly one nonzero term, f32 on
-    # the VPU - exact; no bf16 truncation risk outside the MXU)
-    ohhi = ((idx >> 4)[..., None] == jnp.arange(khi)).astype(jnp.float32)
+    # hi selection: one fused multiply-reduce (exactly one nonzero term; 0/1
+    # masks and 0..255 values are bf16-exact, and each output has exactly one
+    # nonzero addend so the sum is exact too)
+    ohhi = ((idx >> 4)[..., None] == jnp.arange(khi)).astype(jnp.bfloat16)
     out = (p * ohhi[..., None]).sum(-2).astype(jnp.int32)
     return out[..., 0] | (out[..., 1] << 8) | (out[..., 2] << 16)
 
 
 # ---------------------------------------------------------------------------
-# compact AC key: perfect map of B.14's 111 valid (run, am1) pairs into [0, 192)
+# compact AC key: perfect map of B.14's 111 valid (run, am1) pairs into [0, 139),
+# padded to 144 (9 one-hot groups of 16); 143 is the invalid sentinel
 # ---------------------------------------------------------------------------
-_AC_K = 192
+_AC_K = 144
 
 
 def _build_ac_table() -> np.ndarray:

@@ -100,20 +100,44 @@ def _sliding_block_windows(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
         .transpose(0, 2, 1, 3)                                  # (nby, nbx, 2bs, 2bs)
 
 
+def _barrel_stages(rng: int):
+    """Greedy halving decomposition of a shift amount in [0, 2*rng]: every value
+    is the sum of a subset of the stages, chosen greedily (take stage s iff the
+    remaining amount is >= s).  rng=6 -> (6, 3, 2, 1); rng=3 -> (3, 2, 1)."""
+    stages, rem = [], 2 * rng
+    while rem > 0:
+        s = (rem + 1) // 2
+        stages.append(s)
+        rem -= s
+    return stages
+
+
+def _barrel_align(t: jnp.ndarray, amt: jnp.ndarray, rng: int, out: int,
+                  lo: int, axis: int) -> jnp.ndarray:
+    """Shift windows along `axis` by a per-macroblock dynamic amount in
+    [0, 2*rng] using log-many static-slice selects (the bit-packer's word-barrel
+    idea applied to pixel windows): 4 passes for rng=6 instead of 13 masked
+    selects.  Returns width-`out` windows starting at offset lo + amt."""
+    width = out + 2 * rng
+    cur = jax.lax.slice_in_dim(t, lo, lo + width, axis=axis)
+    rem = amt
+    for s in _barrel_stages(rng):
+        width -= s
+        take = (rem >= s)[:, :, None, None]
+        cur = jnp.where(take,
+                        jax.lax.slice_in_dim(cur, s, s + width, axis=axis),
+                        jax.lax.slice_in_dim(cur, 0, width, axis=axis))
+        rem = rem - jnp.where(rem >= s, s, 0)
+    return cur
+
+
 def _align_windows(t: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.ndarray,
                    rng: int, out: int, base: int) -> jnp.ndarray:
-    """Masked-select recentering: t (nby, nbx, 3bs, 3bs) sliding windows,
+    """Barrel-select recentering: t (nby, nbx, 2bs, 2bs) sliding windows,
     off in [-rng, rng] per macroblock -> (nby, nbx, out, out) windows starting at
     relative coordinate (base + off) (base relative to the window's -bs origin)."""
-    acc = jnp.zeros(t.shape[:2] + (out, t.shape[3]), t.dtype)
-    for d in range(-rng, rng + 1):
-        m = (off_y == d)[:, :, None, None]
-        acc = jnp.where(m, t[:, :, base + d: base + d + out, :], acc)
-    acc2 = jnp.zeros(t.shape[:2] + (out, out), t.dtype)
-    for d in range(-rng, rng + 1):
-        m = (off_x == d)[:, :, None, None]
-        acc2 = jnp.where(m, acc[:, :, :, base + d: base + d + out], acc2)
-    return acc2
+    a = _barrel_align(t, off_y + rng, rng, out, base - rng, axis=2)
+    return _barrel_align(a, off_x + rng, rng, out, base - rng, axis=3)
 
 
 def estimate_and_predict(

@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 from ..config import EncoderConfig, SequenceConfig
 from ..core.bitstream import BitWriter, sequence_header_chunks, SEQUENCE_END_CHUNKS
 from ..models.encoder import (
+    DEFAULT_BUDGET_BPS,
     DEFAULT_FRAME_CAP,
     DEFAULT_ROW_CAP,
     encode_frame_core,
@@ -32,22 +33,25 @@ from .mesh import make_mesh, stream_sharding
 
 @functools.partial(
     jax.jit,
-    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "budget_bps"),
 )
 def encode_frames_batched(
     y444, u444, v444,            # (B, H, W) uint8
     prev_y, prev_u, prev_v,      # (B, H, W) / (B, H/2, W/2)
     i_frame, frame_no,           # (B,) int32
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int,
+    budget_bps: int = DEFAULT_BUDGET_BPS,
 ):
     f = functools.partial(encode_frame_core, yr=yr, ur=ur, q_level=q_level,
-                          row_cap=row_cap, frame_cap=frame_cap)
+                          row_cap=row_cap, frame_cap=frame_cap,
+                          budget_bps=budget_bps)
     return jax.vmap(f)(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap"),
+    static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap",
+                     "budget_bps"),
 )
 def encode_gops_batched(
     frames_y, frames_u, frames_v,   # (B, F, H, W) uint8
@@ -55,9 +59,11 @@ def encode_gops_batched(
     i_frame0, frame_no0,            # (B,)
     pframes_count,                  # (B,)
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
+    budget_bps: int = DEFAULT_BUDGET_BPS,
 ):
     f = functools.partial(encode_gop_scan_core, yr=yr, ur=ur, q_level=q_level,
-                          row_cap=row_cap, frame_cap=frame_cap, seq_cap=seq_cap)
+                          row_cap=row_cap, frame_cap=frame_cap, seq_cap=seq_cap,
+                          budget_bps=budget_bps)
     return jax.vmap(f)(frames_y, frames_u, frames_v, prev_y, prev_u, prev_v,
                        i_frame0, frame_no0, pframes_count)
 
@@ -117,7 +123,9 @@ class BatchEncoder:
             ry, ru, rv, fw, fb, ovf = encode_frames_batched(
                 *args, **self._kw(),
                 row_cap=entropy.slice_words_bound(self.seq.mb_cols),
-                frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows))
+                frame_cap=entropy.frame_words_bound(self.seq.mb_cols,
+                                                    self.seq.mb_rows),
+                budget_bps=0)
             assert not bool(np.asarray(ovf).any()), \
                 "frame exceeded the analytic worst-case buffer bound"
         self._prev = (ry, ru, rv)
@@ -147,7 +155,8 @@ class BatchEncoder:
                 row_cap=entropy.slice_words_bound(self.seq.mb_cols),
                 frame_cap=entropy.frame_words_bound(self.seq.mb_cols, self.seq.mb_rows),
                 seq_cap=entropy.frame_words_bound(self.seq.mb_cols,
-                                                  self.seq.mb_rows) * n_frames)
+                                                  self.seq.mb_rows) * n_frames,
+                budget_bps=0)
             ry, ru, rv, sw, sb, i_f, fno, ovf, _, _ = encode_gops_batched(
                 *args, **self._kw(), **caps)
             assert not bool(np.asarray(ovf).any()), \

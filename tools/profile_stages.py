@@ -58,10 +58,10 @@ def make_scan(stage):
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
             return ry, ru, rv, fs.codes.astype(jnp.int32).sum() + fs.lens.sum()
-        rw, rb = bitpack.pack_symbols(fs.codes, fs.lens, 4096)
+        rw, rb, _ = bitpack.pack_symbols(fs.codes, fs.lens, 4096, budget_bps=8)
         if stage == "pack":
             return ry, ru, rv, rw.astype(jnp.int32).sum() + rb.sum()
-        fwd, fb = bitpack.merge_rows(rw, bitpack.align_bytes(rb), 262144)
+        fwd, fb = bitpack.merge_rows(rw, rb, 262144)
         if stage == "merge":
             return ry, ru, rv, fwd.astype(jnp.int32).sum() + fb
         return ry, ru, rv, (fwd, fb)
