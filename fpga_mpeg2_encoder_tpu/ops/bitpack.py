@@ -21,10 +21,16 @@ zero padding already in place), reproducing the stage-V alignment rule
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# pack-tree implementation: "pallas" (whole tree VMEM-resident, HBM touched
+# once per direction), "xla" (per-level HBM buffers), or "auto" (pallas on TPU
+# for full-size rows).  Identical outputs; see ops/pallas/pack.py.
+_PACK_IMPL = os.environ.get("FPGA_MPEG2_PACK_IMPL", "auto")
 
 
 def _shift_words_right(x: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -100,6 +106,13 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
     always exact) and reported in the overflow flag, on which callers re-encode
     with worst-case buffers (models/encoder.py's retry path).
     """
+    if codes.ndim == 2 and (
+            _PACK_IMPL == "pallas"
+            or (_PACK_IMPL == "auto" and codes.shape[-1] >= 1024
+                and jax.default_backend() == "tpu")):
+        from .pallas.pack import pack_symbols_pallas
+        return pack_symbols_pallas(codes, lens, cap_words,
+                                   budget_bps, budget_margin)
     s = codes.shape[-1]
     c = _pad_last(codes.astype(jnp.uint32), s % 2)
     l = _pad_last(lens.astype(jnp.int32), s % 2)
@@ -140,7 +153,8 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
         if w < need:
             ovf = ovf | (bl > 32 * w).any()
     # byte-align (stage-V rule, RTL:2940-2943): zero padding is already present
-    return buf[..., 0, :], align_bytes(bl[..., 0]), ovf
+    out = _pad_last(buf[..., 0, :], cap_words - buf.shape[-1])
+    return out, align_bytes(bl[..., 0]), ovf
 
 
 def align_bytes(bits: jnp.ndarray) -> jnp.ndarray:
