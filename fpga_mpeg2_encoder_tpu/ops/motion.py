@@ -41,6 +41,11 @@ from .colorspace import mean2, mean4
 # ops/pallas/sad.py and tests/test_tpu_exactness.py.
 _SAD_IMPL = os.environ.get("FPGA_MPEG2_SAD_IMPL", "auto")
 
+# luma motion-estimation implementation: "fused" (single Pallas kernel doing
+# SAD volume + argmin + recentering + half-pel + prediction, ops/pallas/me.py),
+# "xla" (this module's staged formulation), or "auto" (fused on TPU).
+_ME_IMPL = os.environ.get("FPGA_MPEG2_ME_IMPL", "auto")
+
 
 class MotionResult(NamedTuple):
     inter: jnp.ndarray       # (nby, nbx) bool
@@ -153,6 +158,15 @@ def estimate_and_predict(
 ) -> MotionResult:
     h, w = cur_y.shape
     nby, nbx = h // 16, w // 16
+
+    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
+                               and jax.default_backend() == "tpu"):
+        from .pallas.me import motion_estimate_pallas
+        inter, mvx, mvy, pred_y = motion_estimate_pallas(
+            cur_y, prev_y, is_iframe, yr)
+        return MotionResult(inter, mvx, mvy, pred_y,
+                            _chroma_pred(prev_u, inter, mvx, mvy, ur),
+                            _chroma_pred(prev_v, inter, mvx, mvy, ur))
 
     cy16 = cur_y.astype(jnp.int16)
 
@@ -271,22 +285,25 @@ def estimate_and_predict(
         pred_y = jnp.where((inter & (idx == i9))[:, :, None, None], grids[i9], pred_y)
     pred_y = pred_y.astype(jnp.int32)
 
-    # ---- chroma prediction -----------------------------------------------------
+    return MotionResult(inter, mvx, mvy, pred_y,
+                        _chroma_pred(prev_u, inter, mvx, mvy, ur),
+                        _chroma_pred(prev_v, inter, mvx, mvy, ur))
+
+
+def _chroma_pred(plane: jnp.ndarray, inter: jnp.ndarray,
+                 mvx: jnp.ndarray, mvy: jnp.ndarray, ur: int) -> jnp.ndarray:
+    """Chroma prediction: luma mv halved, own half-pel interp (RTL:1847-1917)."""
     cfy, cfx = mvy >> 2, mvx >> 2                           # full-pel chroma offset
     chy, chx = (mvy >> 1) & 1, (mvx >> 1) & 1
-
-    def chroma_pred(plane: jnp.ndarray) -> jnp.ndarray:
-        pp = jnp.pad(plane, 4)
-        t16 = _sliding_block_windows(pp, 8)                 # (nby, nbx, 16, 16)
-        w9 = _align_windows(t16, cfy, cfx, ur, 9, 4).astype(jnp.int16)
-        p00 = w9[..., :8, :8]
-        ph = (1 + w9[..., :8, :8] + w9[..., :8, 1:9]) >> 1
-        pv = (1 + w9[..., :8, :8] + w9[..., 1:9, :8]) >> 1
-        pm = (jnp.int16(1) + w9[..., :8, :8] + w9[..., :8, 1:9]
-              + w9[..., 1:9, :8] + w9[..., 1:9, 1:9]) >> 2
-        hyb = chy[:, :, None, None].astype(bool)
-        hxb = chx[:, :, None, None].astype(bool)
-        p = jnp.where(hyb & hxb, pm, jnp.where(hxb, ph, jnp.where(hyb, pv, p00)))
-        return jnp.where(inter[:, :, None, None], p, jnp.int16(128)).astype(jnp.int32)
-
-    return MotionResult(inter, mvx, mvy, pred_y, chroma_pred(prev_u), chroma_pred(prev_v))
+    pp = jnp.pad(plane, 4)
+    t16 = _sliding_block_windows(pp, 8)                     # (nby, nbx, 16, 16)
+    w9 = _align_windows(t16, cfy, cfx, ur, 9, 4).astype(jnp.int16)
+    p00 = w9[..., :8, :8]
+    ph = (1 + w9[..., :8, :8] + w9[..., :8, 1:9]) >> 1
+    pv = (1 + w9[..., :8, :8] + w9[..., 1:9, :8]) >> 1
+    pm = (jnp.int16(1) + w9[..., :8, :8] + w9[..., :8, 1:9]
+          + w9[..., 1:9, :8] + w9[..., 1:9, 1:9]) >> 2
+    hyb = chy[:, :, None, None].astype(bool)
+    hxb = chx[:, :, None, None].astype(bool)
+    p = jnp.where(hyb & hxb, pm, jnp.where(hxb, ph, jnp.where(hyb, pv, p00)))
+    return jnp.where(inter[:, :, None, None], p, jnp.int16(128)).astype(jnp.int32)
