@@ -29,6 +29,7 @@ RTL:2684-2698), ready for the barrel-merge bit packer (ops/bitpack.py).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -36,6 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import tables as T
+
+# AC run/level symbolisation: "pallas" (VMEM-resident kernel, ops/pallas/
+# acsym.py), "xla" (one-hot lookups through HBM), "auto" (pallas on TPU)
+_ACSYM_IMPL = os.environ.get("FPGA_MPEG2_ACSYM_IMPL", "auto")
 
 SLOTS_PER_MB = 4 + 6 * 65
 HEADER_ROWS = 2           # row 0: GOP header, row 1: picture header
@@ -254,18 +259,27 @@ def symbolize_frame(
     dc_len = jnp.where(inter[:, :, None], dc_inter_len, dc_intra_len)
 
     # ---- AC run/level (RTL:2823-2834) -----------------------------------------
-    k_idx = jnp.arange(64)
     emit0 = intra[:, :, None] | (dc != 0)                         # position-0 emits
-    emits = (zig != 0).at[..., 0].set(emit0)
-    ew = jnp.where(emits, k_idx, -1)
-    pm = jax.lax.cummax(ew, axis=ew.ndim - 1)
-    prev = jnp.concatenate([jnp.full(pm.shape[:-1] + (1,), -1, pm.dtype),
-                            pm[..., :-1]], axis=-1)
-    run = k_idx - prev - 1                                        # (nby, nbx, 6, 64)
-    ac_code, ac_len = _ac_symbol(jnp.where(zig == 0, 1, zig), run)
-    ac_len = jnp.where(zig == 0, 0, ac_len)
-    ac_code = ac_code[..., 1:]                                    # positions 1..63
-    ac_len = ac_len[..., 1:]
+    if _ACSYM_IMPL == "pallas" or (_ACSYM_IMPL == "auto"
+                                   and jax.default_backend() == "tpu"):
+        from .pallas.acsym import ac_symbols_pallas
+        zmod = zig.at[..., 0].set(emit0.astype(zig.dtype))
+        ca, la = ac_symbols_pallas(zmod.reshape(nby, nbx * 6 * 64))
+        ac_code = ca.reshape(nby, nbx, 6, 64)[..., 1:]            # positions 1..63
+        ac_len = jnp.where(zig[..., 1:] == 0, 0,
+                           la.reshape(nby, nbx, 6, 64)[..., 1:])
+    else:
+        k_idx = jnp.arange(64)
+        emits = (zig != 0).at[..., 0].set(emit0)
+        ew = jnp.where(emits, k_idx, -1)
+        pm = jax.lax.cummax(ew, axis=ew.ndim - 1)
+        prev = jnp.concatenate([jnp.full(pm.shape[:-1] + (1,), -1, pm.dtype),
+                                pm[..., :-1]], axis=-1)
+        run = k_idx - prev - 1                                    # (nby, nbx, 6, 64)
+        ac_code, ac_len = _ac_symbol(jnp.where(zig == 0, 1, zig), run)
+        ac_len = jnp.where(zig == 0, 0, ac_len)
+        ac_code = ac_code[..., 1:]                                # positions 1..63
+        ac_len = ac_len[..., 1:]
 
     eob_code = jnp.full(nz.shape, 0b10, jnp.uint32)
     eob_len = jnp.full(nz.shape, 2, jnp.int32)
