@@ -106,7 +106,10 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
     always exact) and reported in the overflow flag, on which callers re-encode
     with worst-case buffers (models/encoder.py's retry path).
     """
-    if codes.ndim == 2 and (
+    # cap_words <= 8192 keeps the phase-2 kernel's level buffers inside VMEM;
+    # the worst-case-retry path (analytic slice bound, ~36K words) takes the
+    # XLA tree instead - it is exercised rarely and only for correctness
+    if codes.ndim == 2 and cap_words <= 8192 and (
             _PACK_IMPL == "pallas"
             or (_PACK_IMPL == "auto" and codes.shape[-1] >= 1024
                 and jax.default_backend() == "tpu")):

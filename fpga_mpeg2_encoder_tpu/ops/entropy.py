@@ -193,6 +193,9 @@ def symbolize_frame(
     i_frame: jnp.ndarray,    # scalar int32 (0 => I-frame)
     frame_no: jnp.ndarray,   # scalar int32, frames since sequence start (timecode)
     q_level: int,
+    first_row: jnp.ndarray | int = 0,   # global MB row of row 0 (slice sharding)
+    include_headers: bool = True,       # False: slice rows only (headers packed
+                                        # separately by the sharded path)
 ) -> FrameSymbols:
     nby, nbx = inter.shape
     zig = quant[..., jnp.asarray(_ZIG_INV_NP)]                                    # (nby, nbx, 6, 64)
@@ -297,9 +300,9 @@ def symbolize_frame(
         type_len[..., None], mvx_len[..., None], mvy_len[..., None],
         cbp_len[..., None], tile_lens.reshape(nby, nbx, 6 * 65)], axis=-1)
 
-    # slice header slots (RTL:2708-2710)
+    # slice header slots (RTL:2708-2710); y16 is the GLOBAL macroblock row
     s = 3 + nbx * SLOTS_PER_MB
-    y16 = jnp.arange(nby, dtype=jnp.uint32)
+    y16 = (jnp.arange(nby) + first_row).astype(jnp.uint32)
     hdr_codes = jnp.stack([jnp.full(nby, 1, jnp.uint32), y16 + 1,
                            jnp.full(nby, 2 << q_level, jnp.uint32)], axis=1)
     hdr_lens = jnp.broadcast_to(jnp.array([24, 8, 6], jnp.int32), (nby, 3))
@@ -308,6 +311,8 @@ def symbolize_frame(
     slice_lens = jnp.concatenate(
         [hdr_lens, mb_lens.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
 
+    if not include_headers:
+        return FrameSymbols(slice_codes, slice_lens)
     hc, hl = _header_rows(i_frame, frame_no, s)
     return FrameSymbols(jnp.concatenate([hc, slice_codes], axis=0),
                         jnp.concatenate([hl, slice_lens], axis=0))

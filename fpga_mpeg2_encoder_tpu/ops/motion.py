@@ -157,7 +157,7 @@ def estimate_and_predict(
     ur: int,                   # static: chroma search range
 ) -> MotionResult:
     h, w = cur_y.shape
-    nby, nbx = h // 16, w // 16
+    nby = h // 16
 
     if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
                                and jax.default_backend() == "tpu"):
@@ -168,35 +168,55 @@ def estimate_and_predict(
                             _chroma_pred(prev_u, inter, mvx, mvy, ur),
                             _chroma_pred(prev_v, inter, mvx, mvy, ur))
 
+    return estimate_and_predict_local(
+        cur_y,
+        jnp.pad(prev_y, ((8, 8), (0, 0))),
+        jnp.pad(prev_u, ((4, 4), (0, 0))),
+        jnp.pad(prev_v, ((4, 4), (0, 0))),
+        is_iframe, yr, ur, jnp.int32(0), jnp.int32(nby))
+
+
+def estimate_and_predict_local(
+    cur_y: jnp.ndarray,        # (Hl, W) uint8: a band of macroblock rows
+    prev_y_h: jnp.ndarray,     # (Hl + 16, W): recon band + 8-row halo each side
+    prev_u_h: jnp.ndarray,     # (Hl/2 + 8, W/2): + 4-row halo
+    prev_v_h: jnp.ndarray,
+    is_iframe: jnp.ndarray,
+    yr: int,
+    ur: int,
+    first_mb_row: jnp.ndarray,   # traced: global MB row of local row 0
+    total_mb_rows: jnp.ndarray,  # traced: global MB row count
+) -> MotionResult:
+    """Band-local motion estimation for slice-row sharding (SURVEY section 2.9
+    SP/CP axis): identical math to the whole-frame path, but the reference
+    planes arrive with their +-8/+-4-row halos already exchanged
+    (parallel/halo.py; the RTL analog is the +-YR-row reference window fetch,
+    RTL:1364-1373) and frame-edge candidate masking uses GLOBAL row indices,
+    so shard boundaries are not mistaken for frame edges."""
+    h, w = cur_y.shape
+    nby, nbx = h // 16, w // 16
     cy16 = cur_y.astype(jnp.int16)
 
-    # ---- full-pel SAD volume ---------------------------------------------------
-    use_pallas = _SAD_IMPL == "pallas" or (
-        _SAD_IMPL == "auto" and jax.default_backend() == "tpu")
-    if use_pallas:
-        # VMEM-resident Pallas kernel: frame read once per strip (ops/pallas/sad.py)
-        from .pallas.sad import sad_volume_pallas
-        sad = sad_volume_pallas(cur_y, prev_y, yr)          # (169, nby, nbx)
-    else:
-        # XLA formulation: static shifts + MXU block reduction
-        prevp = jnp.pad(prev_y, yr).astype(jnp.int16)
-        sads = []
-        for dy in range(-yr, yr + 1):
-            for dx in range(-yr, yr + 1):
-                win = jax.lax.dynamic_slice(prevp, (yr + dy, yr + dx), (h, w))
-                d = jnp.abs(cy16 - win)
-                sads.append(_block_reduce_matmul(d, 16))
-        sad = jnp.stack(sads)                               # (169, nby, nbx)
+    # ---- full-pel SAD volume (XLA formulation) --------------------------------
+    prevp = jnp.pad(prev_y_h[8 - yr:8 + h + yr], ((0, 0), (yr, yr))) \
+        .astype(jnp.int16)
+    sads = []
+    for dy in range(-yr, yr + 1):
+        for dx in range(-yr, yr + 1):
+            win = jax.lax.dynamic_slice(prevp, (yr + dy, yr + dx), (h, w))
+            d = jnp.abs(cy16 - win)
+            sads.append(_block_reduce_matmul(d, 16))
+    sad = jnp.stack(sads)                                   # (169, nby, nbx)
 
     n = 2 * yr + 1
     dyi = (jnp.arange(n * n) // n) - yr
     dxi = (jnp.arange(n * n) % n) - yr
     col = jnp.arange(nbx)
-    row = jnp.arange(nby)
+    row = jnp.arange(nby) + first_mb_row                    # global MB rows
     edge_l = (col == 0)[None, :]
     edge_r = (col == nbx - 1)[None, :]
     edge_t = (row == 0)[:, None]
-    edge_b = (row == nby - 1)[:, None]
+    edge_b = (row == total_mb_rows - 1)[:, None]
     invalid = (edge_l[None] & (dxi < 0)[:, None, None]) \
         | (edge_r[None] & (dxi > 0)[:, None, None]) \
         | (edge_t[None] & (dyi < 0)[:, None, None]) \
@@ -224,10 +244,9 @@ def estimate_and_predict(
     intra_cost = jnp.where(acc < 4096, acc, 0xFFF)
 
     # ---- recentring: every MB's 18x18 window at its own full-pel mv -----------
-    # (gather-free REF_SHIFT analog: sliding 48x48 windows + 13+13 masked selects)
-    prevp8 = jnp.pad(prev_y, 8)                             # stay uint8: the 26
-    t32 = _sliding_block_windows(prevp8, 16)                # masked-select passes
-    # (nby, nbx, 32, 32)                                      move half the bytes
+    # (gather-free REF_SHIFT analog: sliding windows + barrel selects)
+    prevp8 = jnp.pad(prev_y_h, ((0, 0), (8, 8)))            # rows already halo'd
+    t32 = _sliding_block_windows(prevp8, 16)
     # window starts at relative coord (mv - 1); rel -8 is window index 0
     w18 = _align_windows(t32, mvy_full, mvx_full, yr, 18, 7).astype(jnp.int16)
 
@@ -286,16 +305,22 @@ def estimate_and_predict(
     pred_y = pred_y.astype(jnp.int32)
 
     return MotionResult(inter, mvx, mvy, pred_y,
-                        _chroma_pred(prev_u, inter, mvx, mvy, ur),
-                        _chroma_pred(prev_v, inter, mvx, mvy, ur))
+                        _chroma_pred_h(prev_u_h, inter, mvx, mvy, ur),
+                        _chroma_pred_h(prev_v_h, inter, mvx, mvy, ur))
 
 
 def _chroma_pred(plane: jnp.ndarray, inter: jnp.ndarray,
                  mvx: jnp.ndarray, mvy: jnp.ndarray, ur: int) -> jnp.ndarray:
-    """Chroma prediction: luma mv halved, own half-pel interp (RTL:1847-1917)."""
+    return _chroma_pred_h(jnp.pad(plane, ((4, 4), (0, 0))), inter, mvx, mvy, ur)
+
+
+def _chroma_pred_h(plane_h: jnp.ndarray, inter: jnp.ndarray,
+                   mvx: jnp.ndarray, mvy: jnp.ndarray, ur: int) -> jnp.ndarray:
+    """Chroma prediction: luma mv halved, own half-pel interp (RTL:1847-1917).
+    plane_h arrives with a 4-row halo each side (zero at frame edges)."""
     cfy, cfx = mvy >> 2, mvx >> 2                           # full-pel chroma offset
     chy, chx = (mvy >> 1) & 1, (mvx >> 1) & 1
-    pp = jnp.pad(plane, 4)
+    pp = jnp.pad(plane_h, ((0, 0), (4, 4)))
     t16 = _sliding_block_windows(pp, 8)                     # (nby, nbx, 16, 16)
     w9 = _align_windows(t16, cfy, cfx, ur, 9, 4).astype(jnp.int16)
     p00 = w9[..., :8, :8]

@@ -1,0 +1,136 @@
+"""Slice-row (sequence/context-parallel) sharding of the FULL frame pipeline.
+
+One frame's macroblock rows are sharded over a mesh axis; every stage runs on
+the shard's own rows (SURVEY.md section 2.9 SP/CP axis):
+
+* 4:2:0 subsampling - row pairs never straddle a 16-row shard boundary;
+* motion estimation - the only cross-shard dependency: the previous frame's
+  reconstruction halo (8 luma / 4 chroma rows each side) moves over ICI with
+  two ``lax.ppermute`` shifts (parallel/halo.py), the TPU-native analog of
+  the RTL's +-YR-row reference window fetch (RTL/mpeg2encoder.v:1364-1373);
+  frame-edge candidate masking uses GLOBAL row indices so shard boundaries
+  are not mistaken for frame edges;
+* transforms and reconstruction - per-macroblock, fully local;
+* entropy - per-slice symbol rows are independent by construction (DC/MV
+  predictor chains reset per slice, RTL:2781-2792); slice headers carry
+  global row numbers; the GOP/picture header rows are packed outside the
+  sharded region (they are ~100 bits);
+* bit packing - per-row packing is local; the byte-aligned row payloads
+  merge into the frame payload with the ordinary merge tree on the global
+  (sharded) array view.
+
+The output payload is BYTE-IDENTICAL to the single-chip encoder's: packing
+is a per-row operation and merging byte-aligned rows is associative, so the
+sharding is invisible in the stream (tests/test_parallel.py asserts equality
+including the edge shards).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.encoder import (
+    DEFAULT_BUDGET_BPS,
+    DEFAULT_FRAME_CAP,
+    DEFAULT_ROW_CAP,
+    _blockify,
+    _tiles,
+    _unblockify,
+    _untile_y,
+)
+from ..ops import bitpack, colorspace, dct, entropy, motion
+from .halo import exchange_halo
+
+
+def make_sharded_frame_encoder(
+    mesh: Mesh, height: int, width: int, *,
+    yr: int, ur: int, q_level: int,
+    row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
+    budget_bps: int = DEFAULT_BUDGET_BPS, axis: str = "slice",
+):
+    """Build a jitted slice-row-sharded single-frame encoder.
+
+    Returns ``fn(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+    -> (recon_y, recon_u, recon_v, fwords, fbits, overflow)`` with the frame
+    planes sharded over ``axis`` on their row dimension (recon outputs keep
+    that sharding for the next frame); the payload is byte-identical to
+    models/encoder.encode_frame_core's.
+    """
+    nsh = mesh.shape[axis]
+    nby, nbx = height // 16, width // 16
+    if nby % nsh != 0:
+        raise ValueError(f"{nby} macroblock rows do not divide {nsh} shards")
+    rows_l = nby // nsh
+
+    def local_step(y, u, v, py, pu, pv, i_frame, frame_no):
+        # y/u/v/py: (H/nsh, W); pu/pv: (H/2/nsh, W/2)
+        sh = jax.lax.axis_index(axis)
+        first_row = sh * rows_l
+        ys, us, vs = colorspace.subsample_420(y, u, v)
+        py_h = exchange_halo(py, 8, axis)
+        pu_h = exchange_halo(pu, 4, axis)
+        pv_h = exchange_halo(pv, 4, axis)
+        mr = motion.estimate_and_predict_local(
+            ys, py_h, pu_h, pv_h, i_frame == 0, yr, ur,
+            first_row, jnp.int32(nby))
+
+        yb = _blockify(ys.astype(jnp.int32), 16)
+        ub = _blockify(us.astype(jnp.int32), 8)
+        vb = _blockify(vs.astype(jnp.int32), 8)
+        cur_t = _tiles(yb, ub, vb)
+        pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+        resid = (cur_t - pred_t).reshape(-1, 64).T
+        inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+        q = dct.quantize(dct.fdct(resid), inter_t, q_level)
+        rres = dct.idct(dct.dequantize(q, inter_t, q_level))
+        recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+            .T.reshape(rows_l, nbx, 6, 64)
+        ry = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+        ru = _unblockify(recon_t[:, :, 4].reshape(rows_l, nbx, 8, 8)) \
+            .astype(jnp.uint8)
+        rv = _unblockify(recon_t[:, :, 5].reshape(rows_l, nbx, 8, 8)) \
+            .astype(jnp.uint8)
+
+        sym = entropy.symbolize_frame(
+            q.T.reshape(rows_l, nbx, 6, 64), mr.inter, mr.mvx, mr.mvy,
+            i_frame, frame_no, q_level,
+            first_row=first_row, include_headers=False)
+        words, bits, ovf = bitpack.pack_symbols(
+            sym.codes, sym.lens, row_cap, budget_bps=budget_bps)
+        return ry, ru, rv, words, bits, ovf.reshape(1)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                   P(axis, None), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def encode_frame(y444, u444, v444, prev_y, prev_u, prev_v,
+                     i_frame, frame_no):
+        ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
+            y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+        # GOP/picture header rows: tiny, packed outside the sharded region
+        hc, hl = entropy._header_rows(i_frame, frame_no, 16)
+        hw, hb, hovf = bitpack.pack_symbols(hc, hl, row_cap)
+        all_w = jnp.concatenate([hw, rows_w], axis=0)
+        all_b = jnp.concatenate([hb, rows_b], axis=0)
+        fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
+        overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
+            | (fbits > 32 * frame_cap)
+        return ry, ru, rv, fwords, fbits, overflow
+
+    return encode_frame
+
+
+def sharded_frame_shardings(mesh: Mesh, axis: str = "slice"
+                            ) -> Tuple[NamedSharding, NamedSharding]:
+    """(plane sharding, replicated) for placing frame planes on the mesh."""
+    return (NamedSharding(mesh, P(axis, None)), NamedSharding(mesh, P()))

@@ -1,0 +1,99 @@
+"""Slice-row sharded FULL frame pipeline (parallel/spatial.py) vs single-chip.
+
+Byte-identical payloads and bit-identical reconstructions are asserted on an
+8-device CPU mesh, INCLUDING the edge shards (the 128x128 case puts exactly
+one macroblock row on each shard, so shards 0 and 7 are frame edges and every
+shard boundary crosses a motion-search halo)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpga_mpeg2_encoder_tpu.models.encoder import (
+    DEFAULT_FRAME_CAP,
+    DEFAULT_ROW_CAP,
+    encode_frame_core,
+)
+from fpga_mpeg2_encoder_tpu.parallel.mesh import make_mesh
+from fpga_mpeg2_encoder_tpu.parallel.spatial import (
+    make_sharded_frame_encoder,
+    sharded_frame_shardings,
+)
+
+from conftest import make_video
+
+
+@pytest.mark.parametrize("w,h,kind", [
+    (128, 128, "pan"),      # 1 MB row per shard: both edge shards exercised
+    (96, 256, "noise"),     # 2 MB rows per shard, escape-heavy content
+])
+def test_sharded_frame_bit_exact(rng, w, h, kind):
+    nsh = 8
+    mesh = make_mesh(nsh, axis="slice")
+    frames = make_video(rng, w, h, 4, kind)
+    kw = dict(yr=6, ur=3, q_level=2)
+    enc = make_sharded_frame_encoder(mesh, h, w, **kw)
+    plane_sh, _ = sharded_frame_shardings(mesh)
+
+    prev_s = (jax.device_put(np.zeros((h, w), np.uint8), plane_sh),
+              jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh),
+              jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh))
+    prev_r = tuple(jnp.asarray(np.zeros_like(np.asarray(p))) for p in prev_s)
+
+    for fi, (y, u, v) in enumerate(frames):
+        i_f = jnp.int32(0 if fi == 0 else fi)
+        fno = jnp.int32(fi)
+        ys = jax.device_put(y, plane_sh)
+        us = jax.device_put(u, plane_sh)
+        vs = jax.device_put(v, plane_sh)
+        sy, su, sv, sw, sb, sovf = enc(ys, us, vs, *prev_s, i_f, fno)
+        ry, ru, rv, fw, fb, ovf = encode_frame_core(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *prev_r, i_f, fno,
+            row_cap=DEFAULT_ROW_CAP, frame_cap=DEFAULT_FRAME_CAP, **kw)
+        assert not bool(sovf) and not bool(ovf)
+        assert int(sb) == int(fb), f"frame {fi}: payload bit count differs"
+        nwords = (int(fb) + 31) // 32
+        assert (np.asarray(sw)[:nwords] == np.asarray(fw)[:nwords]).all(), \
+            f"frame {fi}: payload bytes differ"
+        # reconstruction identical on every shard (edge shards included)
+        assert (np.asarray(sy) == np.asarray(ry)).all()
+        assert (np.asarray(su) == np.asarray(ru)).all()
+        assert (np.asarray(sv) == np.asarray(rv)).all()
+        prev_s = (sy, su, sv)
+        prev_r = (ry, ru, rv)
+
+
+def test_sharded_sequence_stream_decodes(rng):
+    """Assemble a whole sequence from sharded frame payloads and decode it."""
+    from fpga_mpeg2_encoder_tpu.core.bitstream import (
+        BitWriter, SEQUENCE_END_CHUNKS, sequence_header_chunks)
+    from fpga_mpeg2_encoder_tpu.golden.decoder import decode_sequence
+    from fpga_mpeg2_encoder_tpu.golden.validator import validate_sequence
+    from fpga_mpeg2_encoder_tpu.models.encoder import words_to_bytes
+
+    w, h, nf = 128, 128, 5
+    mesh = make_mesh(8, axis="slice")
+    frames = make_video(rng, w, h, nf, "pan")
+    enc = make_sharded_frame_encoder(mesh, h, w, yr=6, ur=3, q_level=2)
+    plane_sh, _ = sharded_frame_shardings(mesh)
+    prev = (jax.device_put(np.zeros((h, w), np.uint8), plane_sh),
+            jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh),
+            jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh))
+    bw = BitWriter()
+    bw.put_chunks(sequence_header_chunks(w, h))
+    payload = [bw.to_bytes_aligned()]
+    for fi, (y, u, v) in enumerate(frames):
+        i_f = jnp.int32(fi % 3)
+        sy, su, sv, sw, sb, ovf = enc(
+            jax.device_put(y, plane_sh), jax.device_put(u, plane_sh),
+            jax.device_put(v, plane_sh), *prev, i_f, jnp.int32(fi))
+        assert not bool(ovf)
+        payload.append(words_to_bytes(np.asarray(sw), int(sb)))
+        prev = (sy, su, sv)
+    bw2 = BitWriter()
+    bw2.put_chunks(SEQUENCE_END_CHUNKS)
+    data = b"".join(payload) + bw2.to_bytes_aligned()
+    data += b"\x00" * ((len(data) // 32 + 1) * 32 - len(data))
+    dec = decode_sequence(data)
+    assert len(dec.pictures) == nf
+    validate_sequence(data, expected_frames=nf)

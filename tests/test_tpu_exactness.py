@@ -47,6 +47,101 @@ def test_tpu_chunked_equals_streaming():
     assert a == b
 
 
+def _structured_content(w, h, n, seed):
+    rng = np.random.default_rng(seed)
+    pad = 32
+    yy, xx = np.mgrid[0:h + pad, 0:w + pad]
+    tex = rng.integers(0, 48, (h + pad, w + pad)).astype(np.int32)
+    y = (((xx * 3 + yy * 2) // 4) % 200 + tex).astype(np.uint8)
+    u = ((xx - yy) // 3 % 160 + 48).astype(np.uint8)
+    v = ((xx + yy) // 5 % 120 + 64).astype(np.uint8)
+    return [(y[2 * i:2 * i + h, 3 * i:3 * i + w].copy(),
+             u[2 * i:2 * i + h, 3 * i:3 * i + w].copy(),
+             v[2 * i:2 * i + h, 3 * i:3 * i + w].copy()) for i in range(n)]
+
+
+@tpu_only
+def test_tpu_fullres_1080p_bit_exact_vs_golden():
+    """A full-resolution 1920x1152 I+P pair on the real chip, bit-exact vs the
+    golden model.  The golden stream takes ~100 s of NumPy to produce, so its
+    SHA-256 is cached here; regenerate with:
+
+        python - <<'PY'
+        import numpy as np, hashlib
+        from fpga_mpeg2_encoder_tpu.config import EncoderConfig, SequenceConfig
+        from fpga_mpeg2_encoder_tpu.golden import encoder as G
+        from tests.test_tpu_exactness import _structured_content
+        frames = _structured_content(1920, 1152, 2, 77)
+        s = G.encode_sequence(EncoderConfig(xl=7, yl=7, vector_level=3,
+                                            q_level=2),
+                              SequenceConfig(1920, 1152, 23), frames)
+        print(len(s), hashlib.sha256(s).hexdigest())
+        PY
+    """
+    import hashlib
+    from fpga_mpeg2_encoder_tpu import Encoder, EncoderConfig
+
+    frames = _structured_content(1920, 1152, 2, 77)
+    cfg = EncoderConfig(xl=7, yl=7, vector_level=3, q_level=2)
+    got = Encoder(cfg).encode(frames, 1920, 1152, pframes_count=23)
+    assert len(got) == 1044000
+    assert hashlib.sha256(got).hexdigest() == \
+        "bde5c76d2896a2eeb26049897578b8b4f1100dd92a3ae46aa458afd222487a6d"
+
+
+@tpu_only
+def test_tpu_max_geometry_2048():
+    """Max geometry (2048x2048, XL=YL=7, reference README.md:81-82) on the real
+    chip: the production Pallas paths (fused ME, AC symbolisation, pack tree)
+    must match the XLA formulations bit for bit, and the stream must be
+    structurally valid."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from fpga_mpeg2_encoder_tpu.models import encoder as M
+    from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
+
+    w = h = 2048
+    frames = _structured_content(w, h, 2, 99)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=8192, frame_cap=524288)
+
+    def run():
+        f = jax.jit(functools.partial(M.encode_frame_core, **kw))
+        prev = (jnp.zeros((h, w), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8))
+        outs = []
+        for fi, (y, u, v) in enumerate(frames):
+            ry, ru, rv, fw, fb, ovf = f(jnp.asarray(y), jnp.asarray(u),
+                                        jnp.asarray(v), *prev,
+                                        jnp.int32(fi), jnp.int32(fi))
+            assert not bool(ovf)
+            outs.append((np.asarray(fw)[: (int(fb) + 31) // 32], int(fb)))
+            prev = (ry, ru, rv)
+        return outs
+
+    pallas_out = run()
+
+    saved = (motion._ME_IMPL, motion._SAD_IMPL, bitpack._PACK_IMPL,
+             entropy._ACSYM_IMPL)
+    motion._ME_IMPL = motion._SAD_IMPL = "xla"
+    bitpack._PACK_IMPL = entropy._ACSYM_IMPL = "xla"
+    try:
+        xla_out = run()
+    finally:
+        (motion._ME_IMPL, motion._SAD_IMPL, bitpack._PACK_IMPL,
+         entropy._ACSYM_IMPL) = saved
+
+    for fi, ((pw, pb), (xw, xb)) in enumerate(zip(pallas_out, xla_out)):
+        assert pb == xb, f"frame {fi}: bit counts differ"
+        assert (pw == xw).all(), f"frame {fi}: payload differs"
+    # structural checks: GOP header, picture headers
+    payload = pallas_out[0][0].astype(">u4").tobytes()
+    assert payload[:4] == b"\x00\x00\x01\xb8"
+    assert payload[8:12] == b"\x00\x00\x01\x00"
+
+
 @tpu_only
 def test_pallas_sad_volume_matches_xla():
     import jax.numpy as jnp
