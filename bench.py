@@ -46,7 +46,7 @@ def main():
     from fpga_mpeg2_encoder_tpu.core.bitstream import (
         BitWriter, sequence_header_chunks, SEQUENCE_END_CHUNKS)
 
-    w, h, nf = 1920, 1152, 48
+    w, h, nf = 1920, 1152, 96
     cfg = EncoderConfig(xl=7, yl=7, vector_level=3, q_level=2)
     frames = make_frames(w, h, nf)
 
@@ -58,7 +58,7 @@ def main():
     # the synthetic texture is entropy-heavy (~750 KB I-frames at q_level=2), so
     # budget caps are sized for it: 16 KB/slice, 1 MB/frame, 8 MB for the GOP
     kw = dict(yr=cfg.yr, ur=cfg.ur, q_level=cfg.q_level,
-              row_cap=4096, frame_cap=262144, seq_cap=4194304)
+              row_cap=4096, frame_cap=262144, seq_cap=8388608)
 
     def run(frames_y):
         return encode_gop_scan(frames_y, fu, fv, py, pc, pc, jnp.int32(0),
@@ -74,7 +74,7 @@ def main():
     int(out[4])
 
     # peak throughput: best of 3 independent timed reps (run-to-run variance on
-    # this shared tunnel rig is ~+-4%; each rep is still a full honest 48-frame
+    # this shared tunnel rig is ~+-4%; each rep is still a full honest 96-frame
     # encode with distinct content and forced completion)
     reps = 3
     best = float("inf")

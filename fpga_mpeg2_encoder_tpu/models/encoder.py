@@ -101,7 +101,8 @@ def encode_frame_core(
     recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
     recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
 
-    sym = entropy.symbolize_frame(q.T.reshape(nby, nbx, 6, 64), mr.inter,
+    q_zig = q[entropy._ZIG_INV_NP, :]     # zig-zag scan: row permutation (cheap)
+    sym = entropy.symbolize_frame(q_zig.T.reshape(nby, nbx, 6, 64), mr.inter,
                                   mr.mvx, mr.mvy, i_frame, frame_no, q_level)
     row_words, row_bits, pack_ovf = bitpack.pack_symbols(
         sym.codes, sym.lens, row_cap, budget_bps=budget_bps)
@@ -136,7 +137,7 @@ def encode_gop_scan_core(
             yy, uu, vv, py, pu, pv, i_f, fno,
             yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap,
             budget_bps=budget_bps)
-        seq_w, seq_b = bitpack.concat_bitstrings(seq_w, seq_b, fw, fb, seq_cap)
+        seq_w, seq_b = bitpack.append_bitstring(seq_w, seq_b, fw, fb)
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
         return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
 

@@ -182,6 +182,30 @@ def merge_rows(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
     return buf[..., 0, :], bl[..., 0]
 
 
+def append_bitstring(seq: jnp.ndarray, seq_bits: jnp.ndarray,
+                     b: jnp.ndarray, b_bits: jnp.ndarray,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Append a left-justified bit-string b (C words) to a left-justified
+    accumulator seq (cap words): funnel-shift b by (seq_bits & 31) and OR it
+    in at word offset seq_bits >> 5 via dynamic slices.
+
+    Unlike concat_bitstrings (whose word barrel costs O(cap * log cap) - fine
+    inside the merge tree, ruinous for a per-frame sequence append), this
+    touches only C+1 words.  If the append would run past the buffer,
+    dynamic_slice clamps and the content is wrong - callers detect that case
+    via seq_bits and re-encode (the overflow-retry contract)."""
+    if b.shape[-1] >= seq.shape[-1]:         # degenerate sizing: the slice
+        b = b[:max(seq.shape[-1] - 1, 1)]    # below must fit; dropped content
+    c = b.shape[-1]                          # is caught by the overflow check
+    s = (seq_bits & 31).astype(jnp.uint32)
+    bpad = jnp.concatenate([b, jnp.zeros((1,), jnp.uint32)])
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), b])
+    sh = jnp.where(s > 0, (bpad >> s) | (prev << ((32 - s) & 31)), bpad)
+    off = (seq_bits >> 5).astype(jnp.int32)
+    region = jax.lax.dynamic_slice(seq, (off,), (c + 1,)) | sh
+    return jax.lax.dynamic_update_slice(seq, region, (off,)), seq_bits + b_bits
+
+
 def pack_frame(codes: jnp.ndarray, lens: jnp.ndarray,
                row_cap_words: int, frame_cap_words: int
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -186,7 +186,10 @@ def _header_rows(i_frame: jnp.ndarray, frame_no: jnp.ndarray, s: int):
 
 
 def symbolize_frame(
-    quant: jnp.ndarray,      # (nby, nbx, 6, 64) int32, raster coefficient order
+    quant_zig: jnp.ndarray,  # (nby, nbx, 6, 64) int32, ZIG-ZAG coefficient order
+                             # (apply the scan as a row permutation in
+                             # coefficient-major space - a cheap major-axis
+                             # reindex - before the tile-major transpose)
     inter: jnp.ndarray,      # (nby, nbx) bool
     mvx: jnp.ndarray,        # (nby, nbx) int32 half-pel
     mvy: jnp.ndarray,
@@ -198,7 +201,7 @@ def symbolize_frame(
                                         # separately by the sharded path)
 ) -> FrameSymbols:
     nby, nbx = inter.shape
-    zig = quant[..., jnp.asarray(_ZIG_INV_NP)]                                    # (nby, nbx, 6, 64)
+    zig = quant_zig                                               # (nby, nbx, 6, 64)
     nz = jnp.logical_not(inter)[:, :, None] | (zig != 0).any(-1)  # (nby, nbx, 6)
     cbp = sum((nz[..., t].astype(jnp.int32) << (5 - t)) for t in range(6))
 

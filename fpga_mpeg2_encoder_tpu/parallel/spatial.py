@@ -96,8 +96,9 @@ def make_sharded_frame_encoder(
         rv = _unblockify(recon_t[:, :, 5].reshape(rows_l, nbx, 8, 8)) \
             .astype(jnp.uint8)
 
+        q_zig = q[entropy._ZIG_INV_NP, :]
         sym = entropy.symbolize_frame(
-            q.T.reshape(rows_l, nbx, 6, 64), mr.inter, mr.mvx, mr.mvy,
+            q_zig.T.reshape(rows_l, nbx, 6, 64), mr.inter, mr.mvx, mr.mvy,
             i_frame, frame_no, q_level,
             first_row=first_row, include_headers=False)
         words, bits, ovf = bitpack.pack_symbols(

@@ -54,7 +54,8 @@ def make_scan(stage):
         rv = M._unblockify(recon_t[:, :, 5].reshape(NBY, NBX, 8, 8)).astype(jnp.uint8)
         if stage == "dct":
             return ry, ru, rv, q.sum()
-        fs = entropy.symbolize_frame(q.T.reshape(NBY, NBX, 6, 64), mr.inter,
+        fs = entropy.symbolize_frame(q[entropy._ZIG_INV_NP, :].T
+                                     .reshape(NBY, NBX, 6, 64), mr.inter,
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
             return ry, ru, rv, fs.codes.astype(jnp.int32).sum() + fs.lens.sum()
