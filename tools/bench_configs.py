@@ -28,15 +28,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import make_frames
+    from bench import make_filmic_frames, make_frames
     from fpga_mpeg2_encoder_tpu import EncoderConfig, SequenceConfig
     from fpga_mpeg2_encoder_tpu.models.encoder import encode_gop_scan
     from fpga_mpeg2_encoder_tpu.parallel.dp import encode_gops_batched
 
     results = []
 
-    def run_single(label, w, h, nf, pframes, row_cap, frame_cap, seq_cap):
-        frames = make_frames(w, h, nf)
+    def run_single(label, w, h, nf, pframes, row_cap, frame_cap, seq_cap,
+                   maker=make_frames):
+        frames = maker(w, h, nf)
         fy = jnp.asarray(np.stack([f[0] for f in frames]))
         fu = jnp.asarray(np.stack([f[1] for f in frames]))
         fv = jnp.asarray(np.stack([f[2] for f in frames]))
@@ -71,6 +72,49 @@ def main():
     # config 4: 1920x1152, pframes_count=255 (one I, then all P)
     run_single("encode_throughput_1920x1152_p255", 1920, 1152, 48, 255,
                4096, 262144, 4194304)
+    # filmic-statistics content (natural low-frequency energy + grain):
+    # derisks the entropy budget vs real-world material
+    run_single("encode_throughput_1920x1152_filmic", 1920, 1152, 48, 23,
+               4096, 262144, 4194304, maker=make_filmic_frames)
+
+    # small frames leave the chip idle per-stream (scan-step overheads
+    # dominate at 0.1 MPixel frames); stream batching is the deployment
+    # answer - record the 8-stream CIF aggregate alongside
+    def run_batched(label, b, w, h, nf, row_cap, frame_cap, seq_cap):
+        frames = make_frames(w, h, nf)
+        fy1 = np.stack([f[0] for f in frames])
+        fu1 = np.stack([f[1] for f in frames])
+        fv1 = np.stack([f[2] for f in frames])
+        fy = jnp.asarray(np.stack([np.roll(fy1, k, axis=0) for k in range(b)]))
+        fu = jnp.asarray(np.stack([fu1] * b))
+        fv = jnp.asarray(np.stack([fv1] * b))
+        py = jnp.zeros((b, h, w), jnp.uint8)
+        pc = jnp.zeros((b, h // 2, w // 2), jnp.uint8)
+        z = jnp.zeros((b,), jnp.int32)
+        pf = jnp.full((b,), 23, jnp.int32)
+        kw = dict(yr=6, ur=3, q_level=2, row_cap=row_cap, frame_cap=frame_cap,
+                  seq_cap=seq_cap)
+        fys = [jnp.roll(fy, r, axis=1) for r in range(4)]
+        jax.block_until_ready(fys)
+
+        def runb(y):
+            return encode_gops_batched(y, fu, fv, py, pc, pc, z, z, pf, **kw)
+        out = runb(fys[0])
+        int(out[4][0])
+        best = float("inf")
+        for r in range(1, 4):
+            t0 = time.perf_counter()
+            out = runb(fys[r])
+            int(out[4][0])
+            best = min(best, time.perf_counter() - t0)
+        assert not bool(np.asarray(out[7]).any()), f"{label}: overflow"
+        mpix = b * w * h * nf / best / 1e6
+        results.append({"metric": label, "value": round(mpix, 1),
+                        "unit": "MPixels/s",
+                        "vs_baseline": round(mpix / 268, 3)})
+
+    run_batched("encode_throughput_8x352x288_aggregate", 8, 352, 288, 48,
+                1024, 32768, 524288)
 
     # config 5: batched 8-stream 1080p aggregate on one chip
     b, w, h, nf = 8, 1920, 1152, 12
