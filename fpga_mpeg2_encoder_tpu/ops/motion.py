@@ -161,12 +161,11 @@ def estimate_and_predict(
 
     if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
                                and jax.default_backend() == "tpu"):
-        from .pallas.me import motion_estimate_pallas
+        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
         inter, mvx, mvy, pred_y = motion_estimate_pallas(
             cur_y, prev_y, is_iframe, yr)
-        return MotionResult(inter, mvx, mvy, pred_y,
-                            _chroma_pred(prev_u, inter, mvx, mvy, ur),
-                            _chroma_pred(prev_v, inter, mvx, mvy, ur))
+        pred_u, pred_v = chroma_pred_pallas(prev_u, prev_v, inter, mvx, mvy, ur)
+        return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
 
     return estimate_and_predict_local(
         cur_y,

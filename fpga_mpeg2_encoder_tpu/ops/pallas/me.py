@@ -310,6 +310,128 @@ def motion_estimate_pallas(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
     return inter, mvx, mvy, pred_y
 
 
+def _chroma_kernel(ur: int, wc: int, wcp: int, nbx: int,
+                   p0u_ref, p1u_ref, p0v_ref, p1v_ref, bt_ref, meta_ref,
+                   pu_ref, pv_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, Wcp)
+    meta = meta_ref[0]                                        # (8, 128) int32
+    mvx, mvy, inter = meta[0:1, :], meta[1:2, :], meta[2:3, :]
+    cfx, cfy = mvx >> 2, mvy >> 2                             # in [-ur, ur]
+    chx, chy = (mvx >> 1) & 1, (mvy >> 1) & 1
+    rows = jnp.concatenate(
+        [cfx + ur, cfy + ur, chx, chy, inter], axis=0)        # (5, 128) >= 0
+    v = rows.astype(jnp.float32).astype(jnp.bfloat16)
+    maps = jnp.dot(v, bt, preferred_element_type=jnp.float32).astype(jnp.int32)
+    cfxl, cfyl, chxl, chyl, interl = (maps[k:k + 1, :] for k in range(5))
+
+    def predict(w16):
+        # per-lane column select from the unshifted window (consistent shifts
+        # across MB boundaries), then a per-lane row barrel
+        r0 = jnp.zeros_like(w16)
+        rp1 = jnp.zeros_like(w16)
+        for dx in range(-ur, ur + 1):
+            mask = cfxl == (dx + ur)
+            r0 = jnp.where(mask,
+                           pltpu.roll(w16, shift=(wcp - (4 + dx)) % wcp,
+                                      axis=1), r0)
+            rp1 = jnp.where(mask,
+                            pltpu.roll(w16, shift=(wcp - (4 + dx + 1)) % wcp,
+                                       axis=1), rp1)
+        # rows: w16 row r holds prev row 8*by + r - 4 (4-row halo pad); the
+        # window needs prev rows [8*by + cfy, +10) for the +1 interp row:
+        # base slice [4 - ur : 4 + ur + 9), then barrel by cfy + ur
+        h = 9 + 2 * ur
+
+        def row_align(x):
+            cur = x[4 - ur:4 + ur + 9, :]
+            rem = cfyl
+            hh = h
+            for s in _barrel_stages(ur):
+                hh -= s
+                cur = jnp.where(rem >= s, cur[s:s + hh, :], cur[:hh, :])
+                rem = rem - jnp.where(rem >= s, s, 0)
+            return cur                                        # (9, Wcp)
+
+        a0 = row_align(r0)
+        a1 = row_align(rp1)
+        p00 = a0[0:8, :]
+        ph = (1 + a0[0:8, :] + a1[0:8, :]) >> 1
+        pv_ = (1 + a0[0:8, :] + a0[1:9, :]) >> 1
+        pm = (1 + a0[0:8, :] + a1[0:8, :] + a0[1:9, :] + a1[1:9, :]) >> 2
+        hxb = chxl > 0
+        hyb = chyl > 0
+        p = jnp.where(hyb & hxb, pm,
+                      jnp.where(hxb, ph, jnp.where(hyb, pv_, p00)))
+        return jnp.where(interl > 0, p, jnp.int32(128))
+
+    wu = jnp.concatenate([p0u_ref[...], p1u_ref[...]], axis=0)  # (16, Wcp)
+    wv = jnp.concatenate([p0v_ref[...], p1v_ref[...]], axis=0)
+    pu_ref[...] = predict(wu)[:, :wc]
+    pv_ref[...] = predict(wv)[:, :wc]
+
+
+def chroma_pred_pallas(prev_u: jnp.ndarray, prev_v: jnp.ndarray,
+                       inter: jnp.ndarray, mvx: jnp.ndarray, mvy: jnp.ndarray,
+                       ur: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chroma prediction (RTL:1847-1917) as one VMEM-resident kernel per
+    8-row chroma strip: prev_u/prev_v (H/2, W/2) uint8, per-MB mv/inter ->
+    (nby, nbx, 8, 8) int32 predictions x2.  Bit-exact vs ops/motion's XLA
+    _chroma_pred."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hc, wcr = prev_u.shape
+    nby, nbx = hc // 8, wcr // 8
+    wc = -(-wcr // 128) * 128
+    wcp = -(-(wc + 2 * ur + 2) // 128) * 128
+    pu = jnp.pad(prev_u, ((4, 4), (4, wcp - wcr - 4))).astype(jnp.int32)
+    pv = jnp.pad(prev_v, ((4, 4), (4, wcp - wcr - 4))).astype(jnp.int32)
+    meta = jnp.zeros((nby, 8, 128), jnp.int32)
+    meta = meta.at[:, 0, :nbx].set(mvx).at[:, 1, :nbx].set(mvy) \
+        .at[:, 2, :nbx].set(inter.astype(jnp.int32))
+
+    pred_u, pred_v = pl.pallas_call(
+        functools.partial(_chroma_kernel, ur, wc, wcp, nbx),
+        grid=(nby,),
+        in_specs=[
+            pl.BlockSpec((8, wcp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wcp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wcp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wcp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, wcp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nby * 8, wc), jnp.int32),
+            jax.ShapeDtypeStruct((nby * 8, wc), jnp.int32),
+        ],
+    )(pu, pu, pv, pv, _bcast_matrix_c(wcp, wcr), meta)
+
+    def fold(p):
+        return p[:, :wcr].reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    return fold(pred_u), fold(pred_v)
+
+
+@functools.lru_cache(maxsize=None)
+def _bcast_matrix_c_np(wcp: int, w: int):
+    m = np.zeros((128, wcp), np.float32)
+    for x in range(w):
+        m[x // 8, x] = 1.0
+    return m
+
+
+def _bcast_matrix_c(wcp: int, w: int):
+    return jnp.asarray(_bcast_matrix_c_np(wcp, w))
+
+
 @functools.lru_cache(maxsize=None)
 def _reduce_matrix_np(wpp: int, w: int):
     m = np.zeros((wpp, 128), np.float32)
