@@ -6,7 +6,12 @@ frame, and optionally writes the 4:2:0 planes and/or compares PSNR against a
 source YUV 4:4:4 file.
 
     python -m fpga_mpeg2_encoder_tpu.cli.decode --input out.m2v \\
-        [--ref src.yuv] [--out-yuv recon.yuv420]
+        [--ref src.yuv] [--out-yuv recon.yuv420] [--validate]
+
+``--validate`` additionally runs the INDEPENDENT ISO 13818-2 validator
+(golden/validator.py: full field-by-field syntax checks + spec-formula
+decode sharing no reconstruction code with the encoder) and reports its
+agreement with the conformance decode.
 """
 from __future__ import annotations
 
@@ -27,6 +32,8 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True, help=".m2v elementary stream")
     p.add_argument("--ref", help="source YUV 4:4:4 file for PSNR")
     p.add_argument("--out-yuv", help="write decoded 4:2:0 planes (Y,U,V per frame)")
+    p.add_argument("--validate", action="store_true",
+                   help="run the independent ISO 13818-2 validator as well")
     args = p.parse_args(argv)
 
     data = open(args.input, "rb").read()
@@ -34,6 +41,17 @@ def main(argv=None) -> int:
     info = {"width": seq.width, "height": seq.height,
             "frames": len(seq.pictures),
             "types": "".join("IPB"[p.coding_type - 1] for p in seq.pictures)}
+
+    if args.validate:
+        from ..golden.validator import ValidationError, validate_sequence
+        try:
+            val = validate_sequence(data, expected_frames=len(seq.pictures))
+            recon = [(pic.y, pic.u, pic.v) for pic in seq.pictures]
+            info["validator"] = "pass"
+            info["validator_psnr_y_vs_recon"] = round(val.psnr_vs(recon, 0), 2)
+            info["gops"] = len(val.gop_timecodes)
+        except ValidationError as e:
+            info["validator"] = f"FAIL: {e}"
 
     if args.ref:
         refs = yuv.read_all(args.ref, seq.width, seq.height)
