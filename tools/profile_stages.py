@@ -24,7 +24,7 @@ from bench import make_frames
 from fpga_mpeg2_encoder_tpu.models import encoder as M
 from fpga_mpeg2_encoder_tpu.ops import bitpack, colorspace, dct, entropy, motion
 
-W, H, NF = 1920, 1152, 12
+W, H, NF = 1920, 1152, int(__import__("os").environ.get("PROF_NF", "12"))
 NBY, NBX = H // 16, W // 16
 STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full")
 
