@@ -143,6 +143,41 @@ def test_tpu_max_geometry_2048():
 
 
 @tpu_only
+def test_tpu_batched_equals_single_stream():
+    """The vmapped multi-stream path (parallel/dp) on the real chip: each
+    batched stream's payload must equal the single-stream encode bit for bit
+    (exercises vmap-of-pallas for the fused ME, AC symbolisation and pack
+    kernels)."""
+    import jax.numpy as jnp
+
+    from fpga_mpeg2_encoder_tpu.models.encoder import encode_frame_device
+    from fpga_mpeg2_encoder_tpu.parallel.dp import encode_frames_batched
+
+    rng = np.random.default_rng(17)
+    b, h, w = 3, 64, 96
+    y = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    v = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    py = np.zeros((b, h, w), np.uint8)
+    pc = np.zeros((b, h // 2, w // 2), np.uint8)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=2048, frame_cap=65536)
+    i_f = jnp.ones((b,), jnp.int32)          # P-frame step vs zero reference
+    fno = jnp.ones((b,), jnp.int32)
+    _, _, _, fwb, fbb, ovfb = encode_frames_batched(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), jnp.asarray(py),
+        jnp.asarray(pc), jnp.asarray(pc), i_f, fno, **kw)
+    assert not bool(np.asarray(ovfb).any())
+    for k in range(b):
+        _, _, _, fw, fb, ovf = encode_frame_device(
+            jnp.asarray(y[k]), jnp.asarray(u[k]), jnp.asarray(v[k]),
+            jnp.asarray(py[k]), jnp.asarray(pc[k]), jnp.asarray(pc[k]),
+            jnp.int32(1), jnp.int32(1), **kw)
+        assert int(np.asarray(fbb)[k]) == int(fb)
+        nw = (int(fb) + 31) // 32
+        assert (np.asarray(fwb)[k][:nw] == np.asarray(fw)[:nw]).all(), k
+
+
+@tpu_only
 def test_pallas_sad_volume_matches_xla():
     import jax.numpy as jnp
     from fpga_mpeg2_encoder_tpu.ops.pallas.sad import sad_volume_pallas
