@@ -20,7 +20,6 @@ coefficient escape-coded).
 """
 from __future__ import annotations
 
-import functools
 import time
 from typing import List, Optional, Tuple
 

@@ -21,7 +21,6 @@ TPU-first design notes
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -31,9 +31,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from .colorspace import mean2, mean4
 
 # full-pel SAD volume implementation: "pallas" (VMEM-resident kernel, reads the
 # frame once per strip), "xla" (169 statically shifted whole-frame diffs), or

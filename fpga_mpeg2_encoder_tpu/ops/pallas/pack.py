@@ -36,7 +36,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _RB = 8  # rows per grid step (minor-dim sublanes in phase 1)
 

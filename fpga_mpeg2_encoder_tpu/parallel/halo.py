@@ -13,12 +13,9 @@ equivalent hazard is handled by the one-slice write-delay memory
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:

@@ -14,7 +14,7 @@ NCCL/MPI analog to build (SURVEY.md section 5).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -12,8 +12,7 @@ between any two frames and resume bit-exactly, including across processes.
 from __future__ import annotations
 
 import dataclasses
-import io
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
