@@ -1,4 +1,5 @@
-"""Pallas TPU kernels (see sad.py for status notes on this rig's toolchain)."""
-from .sad import sad_volume_pallas, supported
+"""Pallas TPU kernels: fused motion estimation (me.py), VMEM bit packing
+(pack.py), AC symbolisation (acsym.py)."""
+from .me import supported
 
-__all__ = ["sad_volume_pallas", "supported"]
+__all__ = ["supported"]

@@ -37,6 +37,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# Set True (tests only) to run the kernels via the Pallas CPU interpreter.
+_INTERPRET = False
+
 _RB = 8  # rows per grid step (minor-dim sublanes in phase 1)
 
 
@@ -67,9 +70,10 @@ def _pad_axis(x: jnp.ndarray, w: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis=axis)
 
 
-def _phase1_kernel(s2: int, widths, codes_ref, lens_ref, out_ref):
-    c = codes_ref[...]                        # (RB, S2) uint32
-    l = lens_ref[...]                         # (RB, S2) int32
+def _phase1_kernel(s2: int, widths, slots_ref, out_ref):
+    slots = slots_ref[...]                    # (RB, S2) uint32: code | len<<27
+    c = slots & jnp.uint32((1 << 27) - 1)
+    l = (slots >> 27).astype(jnp.int32)
 
     # fused levels 0+1: symbol pairs (<=48 bits) -> 2-word nodes
     m = s2 // 2
@@ -177,21 +181,38 @@ def _bit_reverse(x: jnp.ndarray, s2: int) -> jnp.ndarray:
 def pack_symbols_pallas(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
                         budget_bps: int = 0, budget_margin: int = 1536,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in Pallas implementation of bitpack.pack_symbols for 2-D inputs.
+    """Unpacked-operand compatibility wrapper over pack_slots_pallas."""
+    slots = codes.astype(jnp.uint32) | (lens.astype(jnp.uint32) << 27)
+    return pack_slots_pallas(slots, cap_words, budget_bps, budget_margin)
 
-    codes/lens (R, S) -> (words (R, cap_words) uint32, bits (R,) int32
-    byte-aligned, overflow () bool).  Accepts/overflows exactly like the XLA
-    tree (same width ladder)."""
+
+def pack_slots_pallas(slots: jnp.ndarray, cap_words: int,
+                      budget_bps: int = 0, budget_margin: int = 1536,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pallas implementation of bitpack.pack_slots for 2-D packed slot grids
+    (uint32 = code | len << 27, entropy.pack_slot).
+
+    slots (R, S) -> (words (R, cap_words) uint32, bits (R,) int32
+    byte-aligned, overflow () bool).
+
+    The overflow flag is SELF-consistent (set iff THIS implementation dropped
+    bits), not guaranteed identical to the XLA tree's flag on the same input:
+    level widths >= nlev-7 round up to 128-word multiples, the cap rounds to
+    cap128, and the pow2 bit-reversed pairing groups symbols differently from
+    the XLA even-padded tree, so budget-capped levels can drop/flag on
+    different inputs.  Callers must treat a set flag as "retry with worst-case
+    buffers" (encode_frame_core additionally checks row_bits/fbits against the
+    caps), never compare flags across backends.  Successful (non-overflowing)
+    outputs ARE bit-identical to the XLA tree."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    r, s = codes.shape
+    r, s = slots.shape
     s2 = max(256, 1 << (s - 1).bit_length())
     rp = -(-r // _RB) * _RB
-    c = jnp.pad(codes.astype(jnp.uint32), ((0, rp - r), (0, s2 - s)))
-    l = jnp.pad(lens.astype(jnp.int32), ((0, rp - r), (0, s2 - s)))
+    c = jnp.pad(slots, ((0, rp - r), (0, s2 - s)))
     c = _bit_reverse(c, s2)
-    l = _bit_reverse(l, s2)
+    l = (c >> 27).astype(jnp.int32)
 
     # Width ladder: same formula as the XLA tree, except levels at and above
     # the phase boundary are rounded up to 128-word (lane) multiples - Mosaic
@@ -230,12 +251,12 @@ def pack_symbols_pallas(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
         grid=(rp // _RB,),
         in_specs=[
             pl.BlockSpec((_RB, s2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, s2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, w1, _RB, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp // _RB, w1, _RB, 128), jnp.uint32),
-    )(c, l)
+        interpret=_INTERPRET,
+    )(c)
 
     # node-major layout for phase 2: (rows, node, words)
     buf_t = buf.transpose(0, 2, 3, 1).reshape(rp, 128, w1)
@@ -257,6 +278,7 @@ def pack_symbols_pallas(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
         out_specs=pl.BlockSpec((_RB, w_final), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, w_final), jnp.uint32),
+        interpret=_INTERPRET,
     )(buf_t, pl9)
 
     out = rows[:r]

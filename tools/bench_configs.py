@@ -13,7 +13,7 @@ reps, forced completion by scalar readback, frames staged in HBM):
   shards over the `stream` mesh axis with per-stream bit-exactness; on one
   chip this records the aggregate-throughput datapoint available here).
 
-Writes BENCH_CONFIGS_r02.json and prints one JSON line per config.
+Writes BENCH_CONFIGS_r03.json and prints one JSON line per config.
 """
 import json
 import sys
@@ -54,12 +54,14 @@ def main():
         out = run(fys[0])
         int(out[4])
         best = float("inf")
+        ovf = bool(out[7])
         for r in range(1, 4):
             t0 = time.perf_counter()
             out = run(fys[r])
             int(out[4])
             best = min(best, time.perf_counter() - t0)
-        assert not bool(out[7]), f"{label}: overflow"
+            ovf = ovf or bool(out[7])    # every rep must stay in budget
+        assert not ovf, f"{label}: overflow"
         mpix = w * h * nf / best / 1e6
         results.append({"metric": label, "value": round(mpix, 1),
                         "unit": "MPixels/s", "vs_baseline": round(mpix / 268, 3)})
@@ -102,12 +104,14 @@ def main():
         out = runb(fys[0])
         int(out[4][0])
         best = float("inf")
+        ovf = bool(np.asarray(out[7]).any())
         for r in range(1, 4):
             t0 = time.perf_counter()
             out = runb(fys[r])
             int(out[4][0])
             best = min(best, time.perf_counter() - t0)
-        assert not bool(np.asarray(out[7]).any()), f"{label}: overflow"
+            ovf = ovf or bool(np.asarray(out[7]).any())
+        assert not ovf, f"{label}: overflow"
         mpix = b * w * h * nf / best / 1e6
         results.append({"metric": label, "value": round(mpix, 1),
                         "unit": "MPixels/s",
@@ -139,18 +143,20 @@ def main():
     out = runb(fys[0])
     int(out[4][0])
     best = float("inf")
+    ovf = bool(np.asarray(out[7]).any())
     for r in range(1, 4):
         t0 = time.perf_counter()
         out = runb(fys[r])
         int(out[4][0])
         best = min(best, time.perf_counter() - t0)
-    assert not bool(np.asarray(out[7]).any()), "batched overflow"
+        ovf = ovf or bool(np.asarray(out[7]).any())
+    assert not ovf, "batched overflow"
     mpix = b * w * h * nf / best / 1e6
     results.append({"metric": "encode_throughput_8x1920x1152_aggregate",
                     "value": round(mpix, 1), "unit": "MPixels/s",
                     "vs_baseline": round(mpix / 268, 3)})
 
-    with open("/root/repo/BENCH_CONFIGS_r02.json", "w") as f:
+    with open("/root/repo/BENCH_CONFIGS_r03.json", "w") as f:
         json.dump(results, f, indent=1)
     for r in results:
         print(json.dumps(r))
