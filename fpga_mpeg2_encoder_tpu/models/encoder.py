@@ -20,6 +20,7 @@ coefficient escape-coded).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -41,6 +42,11 @@ DEFAULT_ROW_CAP = 2048       # words/slice budget (8 KB)
 DEFAULT_FRAME_CAP = 65536    # words/frame budget (256 KB)
 DEFAULT_BUDGET_BPS = 8       # pack-tree statistical level budget, bits/symbol-slot
                              # (0 = worst-case widths; see bitpack.pack_symbols)
+
+# transform implementation: "pallas" (fused strip-layout kernel,
+# ops/pallas/transform.py), "xla" (coefficient-major ops/dct.py), or "auto"
+# (pallas on TPU).  Bit-exact either way.
+_TRANSFORM_IMPL = os.environ.get("FPGA_MPEG2_TRANSFORM_IMPL", "auto")
 
 
 def _blockify(plane: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -77,34 +83,51 @@ def encode_frame_core(
     """Un-jitted single-frame pipeline.  Returns (recon_y, recon_u, recon_v,
     frame_words (frame_cap,) uint32, frame_bits, overflow flag)."""
     y, u, v = colorspace.subsample_420(y444, u444, v444)
-    mr = motion.estimate_and_predict(y, u, v, prev_y, prev_u, prev_v,
-                                     i_frame == 0, yr, ur)
-    nby, nbx = mr.inter.shape
 
-    yb = _blockify(y.astype(jnp.int32), 16)
-    ub = _blockify(u.astype(jnp.int32), 8)
-    vb = _blockify(v.astype(jnp.int32), 8)
-    cur_t = _tiles(yb, ub, vb)
-    pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+    if _TRANSFORM_IMPL == "pallas" or (_TRANSFORM_IMPL == "auto"
+                                       and jax.default_backend() == "tpu"):
+        # strip-layout production path: ME emits prediction PLANES, the fused
+        # transform kernel does resid/DCT/quant/IDCT/recon in-strip, and only
+        # the quantised coefficients are relayouted for the entropy stage
+        from ..ops.pallas.transform import transform_recon_pallas
+        mr = motion.estimate_and_predict_planes(
+            y, u, v, prev_y, prev_u, prev_v, i_frame == 0, yr, ur)
+        quant_zig, recon_y, recon_u, recon_v = transform_recon_pallas(
+            y, u, v, mr.pred_y, mr.pred_u, mr.pred_v, mr.inter, q_level)
+        sym = entropy.symbolize_frame(quant_zig, mr.inter, mr.mvx, mr.mvy,
+                                      i_frame, frame_no, q_level)
+    else:
+        mr = motion.estimate_and_predict(y, u, v, prev_y, prev_u, prev_v,
+                                         i_frame == 0, yr, ur)
+        nby, nbx = mr.inter.shape
 
-    # coefficient-major layout (64, N): tile axis in vector lanes, full occupancy
-    resid = (cur_t - pred_t).reshape(-1, 64).T
-    inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
-    f = dct.fdct(resid)
-    q = dct.quantize(f, inter_t, q_level)
-    rres = dct.idct(dct.dequantize(q, inter_t, q_level))
-    recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
-        .T.reshape(nby, nbx, 6, 64)
+        yb = _blockify(y.astype(jnp.int32), 16)
+        ub = _blockify(u.astype(jnp.int32), 8)
+        vb = _blockify(v.astype(jnp.int32), 8)
+        cur_t = _tiles(yb, ub, vb)
+        pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
 
-    recon_y = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
-    recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
-    recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
+        # coefficient-major layout (64, N): tile axis in lanes, full occupancy
+        resid = (cur_t - pred_t).reshape(-1, 64).T
+        inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+        f = dct.fdct(resid)
+        q = dct.quantize(f, inter_t, q_level)
+        rres = dct.idct(dct.dequantize(q, inter_t, q_level))
+        recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+            .T.reshape(nby, nbx, 6, 64)
 
-    q_zig = q[entropy._ZIG_INV_NP, :]     # zig-zag scan: row permutation (cheap)
-    sym = entropy.symbolize_frame(q_zig.T.reshape(nby, nbx, 6, 64), mr.inter,
-                                  mr.mvx, mr.mvy, i_frame, frame_no, q_level)
-    row_words, row_bits, pack_ovf = bitpack.pack_symbols(
-        sym.codes, sym.lens, row_cap, budget_bps=budget_bps)
+        recon_y = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+        recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)) \
+            .astype(jnp.uint8)
+        recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)) \
+            .astype(jnp.uint8)
+
+        q_zig = q[entropy._ZIG_INV_NP, :]     # zig-zag scan: row permutation
+        sym = entropy.symbolize_frame(q_zig.T.reshape(nby, nbx, 6, 64),
+                                      mr.inter, mr.mvx, mr.mvy, i_frame,
+                                      frame_no, q_level)
+    row_words, row_bits, pack_ovf = bitpack.pack_slots(
+        sym.slots, row_cap, budget_bps=budget_bps)
     fwords, fbits = bitpack.merge_rows(row_words, row_bits, frame_cap)
     overflow = pack_ovf | (row_bits > 32 * row_cap).any() | (fbits > 32 * frame_cap)
     return recon_y, recon_u, recon_v, fwords, fbits, overflow
@@ -114,6 +137,63 @@ encode_frame_device = jax.jit(
     encode_frame_core,
     static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "budget_bps"),
 )
+
+
+def symbolize_frame_core(
+    y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no,
+    *, yr: int, ur: int, q_level: int,
+):
+    """The pipeline up to symbolisation: returns (recon_y, recon_u, recon_v,
+    slots (2 + nby, S) uint32).  The budget-overflow retry path: packing the
+    slot grid on the HOST (utils/native.pack_symbols_host, C++) needs no
+    budget caps and no worst-case device buffers, so an overflowing frame
+    costs one extra device step + a native stitch instead of a second
+    compiled program with ~36K-word buffers."""
+    y, u, v = colorspace.subsample_420(y444, u444, v444)
+    mr = motion.estimate_and_predict(y, u, v, prev_y, prev_u, prev_v,
+                                     i_frame == 0, yr, ur)
+    nby, nbx = mr.inter.shape
+
+    yb = _blockify(y.astype(jnp.int32), 16)
+    ub = _blockify(u.astype(jnp.int32), 8)
+    vb = _blockify(v.astype(jnp.int32), 8)
+    cur_t = _tiles(yb, ub, vb)
+    pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+    resid = (cur_t - pred_t).reshape(-1, 64).T
+    inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+    f = dct.fdct(resid)
+    q = dct.quantize(f, inter_t, q_level)
+    rres = dct.idct(dct.dequantize(q, inter_t, q_level))
+    recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+        .T.reshape(nby, nbx, 6, 64)
+    recon_y = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+    recon_u = _unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
+    recon_v = _unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8)).astype(jnp.uint8)
+
+    q_zig = q[entropy._ZIG_INV_NP, :]
+    sym = entropy.symbolize_frame(q_zig.T.reshape(nby, nbx, 6, 64), mr.inter,
+                                  mr.mvx, mr.mvy, i_frame, frame_no, q_level)
+    return recon_y, recon_u, recon_v, sym.slots
+
+
+symbolize_frame_device = jax.jit(
+    symbolize_frame_core, static_argnames=("yr", "ur", "q_level"))
+
+
+def stitch_slots_host(slots: np.ndarray) -> bytes:
+    """Pack a frame's (R, S) packed slot grid on the host (C++ stitcher, with
+    a NumPy/BitWriter fallback): rows are byte-aligned, exactly like the
+    device merge tree, so the payload is byte-identical to the device path."""
+    from ..ops.entropy import SLOT_CODE_MASK, SLOT_LEN_SHIFT
+    from ..utils import native
+    r, s = slots.shape
+    flat = slots.reshape(-1)
+    codes = (flat & SLOT_CODE_MASK).astype(np.uint32)
+    lens = (flat >> SLOT_LEN_SHIFT).astype(np.int32)
+    align = np.zeros(r * s, np.uint8)
+    align[::s] = 1                      # byte-align at every row start
+    data, _bits = native.pack_symbols_host(codes, lens, align)
+    return data
 
 
 def encode_gop_scan_core(
@@ -276,17 +356,16 @@ class Encoder:
         ry, ru, rv, fw, fb, ovf = encode_frame_device(
             *args, **kw, row_cap=self.row_cap, frame_cap=self.frame_cap)
         if bool(ovf):
-            # rare: frame exceeded the budget caps; redo with worst-case buffers
-            # (and the pack-tree level budget disabled)
-            ry, ru, rv, fw, fb, ovf = encode_frame_device(
-                *args, **kw,
-                row_cap=entropy.slice_words_bound(seq.mb_cols),
-                frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
-                budget_bps=0)
-            assert not bool(ovf)
-        self._prev = (ry, ru, rv)
-        nbits = int(fb)
-        self._payload.append(words_to_bytes(np.asarray(fw), nbits))
+            # rare: frame exceeded the budget caps; redo via the symbols-only
+            # device step + host-side C++ stitch (no caps involved)
+            ry, ru, rv, payload = self._encode_frame_hoststitch(args, kw)
+            self._prev = (ry, ru, rv)
+            nbits = len(payload) * 8
+            self._payload.append(payload)
+        else:
+            self._prev = (ry, ru, rv)
+            nbits = int(fb)
+            self._payload.append(words_to_bytes(np.asarray(fw), nbits))
         self.stats.add(index=self._frame_no, i_frame=self._i_frame, bits=nbits,
                        wall_s=time.perf_counter() - t_start)
         self._i_frame = 0 if self._i_frame >= seq.pframes_count else self._i_frame + 1
@@ -309,13 +388,23 @@ class Encoder:
         ry, ru, rv, sw, sb, i_f, fno, ovf, fbits, fifs = encode_gop_scan(
             *args, **kw, **caps)
         if bool(ovf):
-            caps = dict(row_cap=entropy.slice_words_bound(seq.mb_cols),
-                        frame_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows),
-                        seq_cap=entropy.frame_words_bound(seq.mb_cols, seq.mb_rows)
-                        * len(frames), budget_bps=0)
-            ry, ru, rv, sw, sb, i_f, fno, ovf, fbits, fifs = encode_gop_scan(
-                *args, **kw, **caps)
-            assert not bool(ovf)
+            # rare: some frame exceeded the budget caps; redo the chunk frame
+            # by frame through the symbols-only device step + host C++ stitch
+            # (byte-identical, no worst-case device buffers)
+            prev = self._prev
+            for k, (y, u, v) in enumerate(frames):
+                fargs = (jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *prev,
+                         jnp.int32(self._i_frame), jnp.int32(self._frame_no))
+                pry, pru, prv, payload = self._encode_frame_hoststitch(fargs, kw)
+                prev = (pry, pru, prv)
+                self._payload.append(payload)
+                self.stats.add(index=self._frame_no, i_frame=self._i_frame,
+                               bits=len(payload) * 8, wall_s=0.0)
+                self._i_frame = 0 if self._i_frame >= seq.pframes_count \
+                    else self._i_frame + 1
+                self._frame_no += 1
+            self._prev = prev
+            return
         self._prev = (ry, ru, rv)
         chunk_bits = int(sb)
         self._payload.append(words_to_bytes(np.asarray(sw), chunk_bits))
@@ -325,6 +414,11 @@ class Encoder:
                            bits=int(fbits_h[k]), wall_s=0.0)
         self._i_frame = int(i_f)
         self._frame_no = int(fno)
+
+    def _encode_frame_hoststitch(self, args, kw):
+        """Symbols-only device step + host C++ stitch (overflow retry path)."""
+        ry, ru, rv, slots = symbolize_frame_device(*args, **kw)
+        return ry, ru, rv, stitch_slots_host(np.asarray(slots))
 
     def finish(self, stop_mode: str = "clean") -> bytes:
         """End the sequence (i_sequence_stop semantics) and return the stream.

@@ -88,6 +88,27 @@ def _pad_last(x: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def pack_slots(slots: jnp.ndarray, cap_words: int,
+               budget_bps: int = 0, budget_margin: int = 1536,
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pack rows of PACKED slots (uint32 = code | len << 27, entropy.pack_slot)
+    into left-justified byte-aligned bit-strings; the production entry point
+    (one slot array instead of separate code/len arrays halves the HBM
+    traffic between symbolisation and packing).
+
+    slots: (..., S) -> (words (..., cap_words) uint32, bits (...,) int32
+    byte-aligned, overflow () bool).  Semantics as pack_symbols."""
+    if slots.ndim == 2 and cap_words <= 8192 and (
+            _PACK_IMPL == "pallas"
+            or (_PACK_IMPL == "auto" and slots.shape[-1] >= 1024
+                and jax.default_backend() == "tpu")):
+        from .pallas.pack import pack_slots_pallas
+        return pack_slots_pallas(slots, cap_words, budget_bps, budget_margin)
+    return _pack_symbols_xla(slots & ((1 << 27) - 1),
+                             (slots >> 27).astype(jnp.int32),
+                             cap_words, budget_bps, budget_margin)
+
+
 def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
                  budget_bps: int = 0, budget_margin: int = 1536,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -116,6 +137,10 @@ def pack_symbols(codes: jnp.ndarray, lens: jnp.ndarray, cap_words: int,
         from .pallas.pack import pack_symbols_pallas
         return pack_symbols_pallas(codes, lens, cap_words,
                                    budget_bps, budget_margin)
+    return _pack_symbols_xla(codes, lens, cap_words, budget_bps, budget_margin)
+
+
+def _pack_symbols_xla(codes, lens, cap_words, budget_bps, budget_margin):
     s = codes.shape[-1]
     c = _pad_last(codes.astype(jnp.uint32), s % 2)
     l = _pad_last(lens.astype(jnp.int32), s % 2)

@@ -43,6 +43,7 @@ from ..core import tables as T
 _ACSYM_IMPL = os.environ.get("FPGA_MPEG2_ACSYM_IMPL", "auto")
 
 SLOTS_PER_MB = 4 + 6 * 65
+HDR_SLOTS = 3             # slice start code, row number, quantiser scale
 HEADER_ROWS = 2           # row 0: GOP header, row 1: picture header
 _ZIG_INV_NP = np.asarray(T.ZIGZAG_INV)
 
@@ -153,9 +154,29 @@ _DCY_TAB = (T.BITS_DC_Y.astype(np.int64) << 5) | T.LENS_DC_Y
 _DCUV_TAB = (T.BITS_DC_UV.astype(np.int64) << 5) | T.LENS_DC_UV
 
 
+# Packed slot encoding: one uint32 per slot, code | len << 27.  Every code in
+# the stream is <= 25 bits (largest: 24-bit start codes and escapes) and every
+# len <= 24, so the pack fits with room to spare; a zero slot is a zero-length
+# symbol.  Halves the symbolise->pack HBM traffic vs separate (codes, lens).
+SLOT_LEN_SHIFT = 27
+SLOT_CODE_MASK = (1 << SLOT_LEN_SHIFT) - 1
+
+
+def pack_slot(code, length):
+    """Pack (code uint32 <= 25 bits, len int <= 24) into one uint32 slot."""
+    return code.astype(jnp.uint32) | (length.astype(jnp.uint32) << SLOT_LEN_SHIFT)
+
+
 class FrameSymbols(NamedTuple):
-    codes: jnp.ndarray    # (2 + nby, S) uint32
-    lens: jnp.ndarray     # (2 + nby, S) int32
+    slots: jnp.ndarray    # (2 + nby, S) uint32, packed code | len << 27
+
+    @property
+    def codes(self) -> jnp.ndarray:
+        return self.slots & SLOT_CODE_MASK
+
+    @property
+    def lens(self) -> jnp.ndarray:
+        return (self.slots >> SLOT_LEN_SHIFT).astype(jnp.int32)
 
 
 def _header_rows(i_frame: jnp.ndarray, frame_no: jnp.ndarray, s: int):
@@ -264,16 +285,44 @@ def symbolize_frame(
     dc_code = jnp.where(inter[:, :, None], dc_inter_code, dc_intra_code)
     dc_len = jnp.where(inter[:, :, None], dc_inter_len, dc_intra_len)
 
-    # ---- AC run/level (RTL:2823-2834) -----------------------------------------
+    # ---- packed non-AC slots --------------------------------------------------
+    # A tile with nz=0 emits nothing at all: its AC coefficients are all zero
+    # (len 0 by construction), its inter DC is 0 (len 0), so only the EOB slot
+    # needs the explicit nz gate (the RTL simply skips the tile, RTL:2823-2834).
+    nz_i = nz.astype(jnp.int32)
+    dc_p = pack_slot(dc_code, dc_len)                             # (nby, nbx, 6)
+    eob_p = pack_slot(jnp.full(nz.shape, 0b10, jnp.uint32),
+                      2 * nz_i)
+    type_p = pack_slot(type_code, type_len)
+    mvx_p = pack_slot(mvx_code, mvx_len)
+    mvy_p = pack_slot(mvy_code, mvy_len)
+    cbp_p = pack_slot(cbp_code, cbp_len)
+
+    s = HDR_SLOTS + nbx * SLOTS_PER_MB
+    y16 = (jnp.arange(nby) + first_row).astype(jnp.uint32)
+    hdr_p = pack_slot(
+        jnp.stack([jnp.full(nby, 1, jnp.uint32), y16 + 1,
+                   jnp.full(nby, 2 << q_level, jnp.uint32)], axis=1),
+        jnp.broadcast_to(jnp.array([24, 8, 6], jnp.int32), (nby, 3)))
+
+    # ---- AC run/level (RTL:2823-2834) + slot-grid assembly --------------------
     emit0 = intra[:, :, None] | (dc != 0)                         # position-0 emits
     if _ACSYM_IMPL == "pallas" or (_ACSYM_IMPL == "auto"
                                    and jax.default_backend() == "tpu"):
-        from .pallas.acsym import ac_symbols_pallas
+        # the kernel routes every AC symbol to its slot in VMEM and merges the
+        # pre-packed non-AC slots; only the small grid is built here
+        from .pallas.acsym import ac_slot_grid_pallas
         zmod = zig.at[..., 0].set(emit0.astype(zig.dtype))
-        ca, la = ac_symbols_pallas(zmod.reshape(nby, nbx * 6 * 64))
-        ac_code = ca.reshape(nby, nbx, 6, 64)[..., 1:]            # positions 1..63
-        ac_len = jnp.where(zig[..., 1:] == 0, 0,
-                           la.reshape(nby, nbx, 6, 64)[..., 1:])
+        tile_small = jnp.concatenate(
+            [dc_p[..., None], jnp.zeros((nby, nbx, 6, 63), jnp.uint32),
+             eob_p[..., None]], axis=-1)                          # (nby,nbx,6,65)
+        mb_small = jnp.concatenate(
+            [type_p[..., None], mvx_p[..., None], mvy_p[..., None],
+             cbp_p[..., None], tile_small.reshape(nby, nbx, 6 * 65)], axis=-1)
+        small = jnp.concatenate(
+            [hdr_p, mb_small.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
+        slice_slots = ac_slot_grid_pallas(
+            zmod.reshape(nby, nbx * 6 * 64), small)
     else:
         k_idx = jnp.arange(64)
         emits = (zig != 0).at[..., 0].set(emit0)
@@ -284,41 +333,21 @@ def symbolize_frame(
         run = k_idx - prev - 1                                    # (nby, nbx, 6, 64)
         ac_code, ac_len = _ac_symbol(jnp.where(zig == 0, 1, zig), run)
         ac_len = jnp.where(zig == 0, 0, ac_len)
-        ac_code = ac_code[..., 1:]                                # positions 1..63
-        ac_len = ac_len[..., 1:]
+        ac_p = pack_slot(ac_code, ac_len)[..., 1:]                # positions 1..63
 
-    eob_code = jnp.full(nz.shape, 0b10, jnp.uint32)
-    eob_len = jnp.full(nz.shape, 2, jnp.int32)
-
-    nz_i = nz.astype(jnp.int32)
-    tile_codes = jnp.concatenate([dc_code[..., None], ac_code, eob_code[..., None]],
-                                 axis=-1)                         # (nby, nbx, 6, 65)
-    tile_lens = jnp.concatenate([dc_len[..., None], ac_len, eob_len[..., None]],
-                                axis=-1) * nz_i[..., None]
-
-    mb_codes = jnp.concatenate([
-        type_code[..., None], mvx_code[..., None], mvy_code[..., None],
-        cbp_code[..., None], tile_codes.reshape(nby, nbx, 6 * 65)], axis=-1)
-    mb_lens = jnp.concatenate([
-        type_len[..., None], mvx_len[..., None], mvy_len[..., None],
-        cbp_len[..., None], tile_lens.reshape(nby, nbx, 6 * 65)], axis=-1)
-
-    # slice header slots (RTL:2708-2710); y16 is the GLOBAL macroblock row
-    s = 3 + nbx * SLOTS_PER_MB
-    y16 = (jnp.arange(nby) + first_row).astype(jnp.uint32)
-    hdr_codes = jnp.stack([jnp.full(nby, 1, jnp.uint32), y16 + 1,
-                           jnp.full(nby, 2 << q_level, jnp.uint32)], axis=1)
-    hdr_lens = jnp.broadcast_to(jnp.array([24, 8, 6], jnp.int32), (nby, 3))
-    slice_codes = jnp.concatenate(
-        [hdr_codes, mb_codes.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
-    slice_lens = jnp.concatenate(
-        [hdr_lens, mb_lens.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
+        tile_slots = jnp.concatenate(
+            [dc_p[..., None], ac_p, eob_p[..., None]], axis=-1)   # (nby,nbx,6,65)
+        mb_slots = jnp.concatenate(
+            [type_p[..., None], mvx_p[..., None], mvy_p[..., None],
+             cbp_p[..., None], tile_slots.reshape(nby, nbx, 6 * 65)], axis=-1)
+        slice_slots = jnp.concatenate(
+            [hdr_p, mb_slots.reshape(nby, nbx * SLOTS_PER_MB)], axis=1)
 
     if not include_headers:
-        return FrameSymbols(slice_codes, slice_lens)
+        return FrameSymbols(slice_slots)
     hc, hl = _header_rows(i_frame, frame_no, s)
-    return FrameSymbols(jnp.concatenate([hc, slice_codes], axis=0),
-                        jnp.concatenate([hl, slice_lens], axis=0))
+    return FrameSymbols(jnp.concatenate([pack_slot(hc, hl), slice_slots],
+                                        axis=0))
 
 
 def slice_words_bound(nbx: int) -> int:

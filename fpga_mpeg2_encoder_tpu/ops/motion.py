@@ -32,12 +32,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# full-pel SAD volume implementation: "pallas" (VMEM-resident kernel, reads the
-# frame once per strip), "xla" (169 statically shifted whole-frame diffs), or
-# "auto" (pallas on TPU, xla elsewhere).  Both are bit-exact; see
-# ops/pallas/sad.py and tests/test_tpu_exactness.py.
-_SAD_IMPL = os.environ.get("FPGA_MPEG2_SAD_IMPL", "auto")
-
 # luma motion-estimation implementation: "fused" (single Pallas kernel doing
 # SAD volume + argmin + recentering + half-pel + prediction, ops/pallas/me.py),
 # "xla" (this module's staged formulation), or "auto" (fused on TPU).
@@ -172,7 +166,69 @@ def estimate_and_predict(
         is_iframe, yr, ur, jnp.int32(0), jnp.int32(nby))
 
 
+def estimate_and_predict_planes(
+    cur_y, cur_u, cur_v, prev_y, prev_u, prev_v, is_iframe, yr: int, ur: int,
+) -> MotionResult:
+    """As estimate_and_predict, but pred_y/pred_u/pred_v are PIXEL PLANES
+    ((H, W) / (H/2, W/2) int32) - the frame-strip form the fused Pallas
+    transform kernel consumes (ops/pallas/transform.py), skipping the
+    tile-major marshalling entirely on the production path."""
+    h, w = cur_y.shape
+    nby = h // 16
+    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
+                               and jax.default_backend() == "tpu"):
+        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
+        inter, mvx, mvy, pred_y = motion_estimate_pallas(
+            cur_y, prev_y, is_iframe, yr, as_plane=True)
+        pred_u, pred_v = chroma_pred_pallas(prev_u, prev_v, inter, mvx, mvy,
+                                            ur, as_plane=True)
+        return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
+    mr = estimate_and_predict(cur_y, cur_u, cur_v, prev_y, prev_u, prev_v,
+                              is_iframe, yr, ur)
+
+    def unblk(t):
+        nb_y, nb_x, bs, _ = t.shape
+        return t.transpose(0, 2, 1, 3).reshape(nb_y * bs, nb_x * bs)
+    return MotionResult(mr.inter, mr.mvx, mr.mvy, unblk(mr.pred_y),
+                        unblk(mr.pred_u), unblk(mr.pred_v))
+
+
 def estimate_and_predict_local(
+    cur_y: jnp.ndarray,        # (Hl, W) uint8: a band of macroblock rows
+    prev_y_h: jnp.ndarray,     # (Hl + 16, W): recon band + 8-row halo each side
+    prev_u_h: jnp.ndarray,     # (Hl/2 + 8, W/2): + 4-row halo
+    prev_v_h: jnp.ndarray,
+    is_iframe: jnp.ndarray,
+    yr: int,
+    ur: int,
+    first_mb_row: jnp.ndarray,   # traced: global MB row of local row 0
+    total_mb_rows: jnp.ndarray,  # traced: global MB row count
+) -> MotionResult:
+    """Band-local motion estimation for slice-row sharding (SURVEY section 2.9
+    SP/CP axis): identical math to the whole-frame path, with the reference
+    planes' +-8/+-4-row halos already exchanged (parallel/halo.py; the RTL
+    analog is the +-YR-row reference window fetch, RTL/mpeg2encoder.v:1364-
+    1373) and frame-edge candidate masking on GLOBAL row indices, so shard
+    boundaries are not mistaken for frame edges.
+
+    Dispatches to the same production Pallas kernels as the whole-frame path
+    on TPU (VERDICT round-2: the sharded pipeline must not run a permanently
+    divergent formulation), with the XLA formulation as fallback."""
+    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
+                               and jax.default_backend() == "tpu"):
+        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
+        inter, mvx, mvy, pred_y = motion_estimate_pallas(
+            cur_y, prev_y_h, is_iframe, yr,
+            first_mb_row=first_mb_row, total_mb_rows=total_mb_rows, halo=True)
+        pred_u, pred_v = chroma_pred_pallas(prev_u_h, prev_v_h, inter,
+                                            mvx, mvy, ur, halo=True)
+        return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
+    return _estimate_and_predict_local_xla(
+        cur_y, prev_y_h, prev_u_h, prev_v_h, is_iframe, yr, ur,
+        first_mb_row, total_mb_rows)
+
+
+def _estimate_and_predict_local_xla(
     cur_y: jnp.ndarray,        # (Hl, W) uint8: a band of macroblock rows
     prev_y_h: jnp.ndarray,     # (Hl + 16, W): recon band + 8-row halo each side
     prev_u_h: jnp.ndarray,     # (Hl/2 + 8, W/2): + 4-row halo

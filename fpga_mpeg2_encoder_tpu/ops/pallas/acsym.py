@@ -1,10 +1,12 @@
 """Pallas TPU kernel: AC run/level VLC symbolisation (stage T's put_AC loop,
-RTL/mpeg2encoder.v:2525-2547 / 2823-2834), VMEM-resident.
+RTL/mpeg2encoder.v:2525-2547 / 2823-2834) emitting the frame's SLOT GRID
+directly, VMEM-resident.
 
 The XLA formulation (ops/entropy.py) materialises the one-hot lookup
-intermediates in HBM (~0.6 GB/frame at 1080p: the 16-wide one-hot, the
-byte-plane partial products and the hi-select pass over 3.3M coefficient
-positions).  Here each slice row's coefficients stream through VMEM once:
+intermediates in HBM (~0.6 GB/frame at 1080p) and then assembles the
+(slice-row, slot) grid with a chain of whole-frame concatenations (another
+~0.2 GB).  Here each slice row's coefficients stream through VMEM once and
+leave as finished slot-grid rows:
 
 * run lengths: the previous-nonzero index is a segmented cumulative max over
   each tile's 64 zig-zag lanes, computed as 6 masked lane-roll max steps
@@ -12,38 +14,71 @@ positions).  Here each slice row's coefficients stream through VMEM once:
 * the 144-entry compact B.14 table lookup stays the exact one-hot matmul
   (0/1 one-hot x byte-plane table, f32 accumulation - values <= 255 are
   bf16-exact) but the one-hot and partial products never leave VMEM;
-* the 24-bit escape path (RTL:2541-2543) is pure integer arithmetic.
+* the 24-bit escape path (RTL:2541-2543) is pure integer arithmetic;
+* slot routing: AC position (mb, t, z) must land at slot
+  3 + mb*394 + 4 + t*65 + z, a right-shift of 7 + 10*mb + t lanes.  The
+  shift is monotone non-decreasing in the source lane, so the routing is
+  collision-free and runs as an 11-stage carry-the-remainder lane barrel:
+  each stage rolls (data, remaining-shift) together and lanes take the
+  rolled value iff the rolled remainder has that stage's bit set;
+* the non-AC slots (slice header, macroblock type/mv/cbp, per-tile DC and
+  EOB) arrive pre-packed from XLA (they are (nby, nbx)-sized - trivial) and
+  are selected into the grid by a per-lane slot-class mask.
+
+Slots are PACKED: uint32 = code | len << 27 (codes <= 25 bits, lens <= 24),
+halving the symbolise->pack HBM traffic.
 
 Inputs:  zmod (nby, nbx*6*64) int32 - zig-zag-ordered quantised coefficients
          with position 0 replaced by the emit flag (intra or DC != 0), which
-         only influences run computation (position 0's symbol is not an AC
-         output; ops/entropy.py slices positions 1..63).
-Outputs: codes (nby, nbx*6*64) uint32, lens int32 - put_AC of every position
-         (len meaningful where the coefficient is nonzero).
+         only influences run computation;
+         small (nby, Sp) uint32 - packed non-AC slots (zero at AC slots).
+Outputs: slots (nby, Sp) uint32 - the complete packed slot grid rows.
 
-Bit-exact vs the XLA path (tests/test_tpu_exactness.py).
+Bit-exact vs the XLA path (tests/test_pallas_interpret.py on CPU,
+tests/test_tpu_exactness.py on chip).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Set True (tests only) to run the kernel via the Pallas CPU interpreter.
+_INTERPRET = False
+
 _RB = 8      # macroblock rows per grid step (block sublane dim must be 8k)
 _CHUNK = 12288  # lookup lane-chunk width (bounds the f32 matmul product to
                 # (48, 12288) ~ 2.3 MB of VMEM)
 
+SLOTS_PER_MB = 4 + 6 * 65          # type, mvx, mvy, cbp, 6 x (dc, 63 ac, eob)
+HDR_SLOTS = 3                      # slice start code, row, quantiser scale
 
-def _kernel(width: int, tabt_ref, z_ref, code_ref, len_ref):
+
+@functools.lru_cache(maxsize=None)
+def _magic_div(d: int, xmax: int):
+    """(m, s) with (x*m) >> s == x // d for all 0 <= x < xmax, x*m < 2^31."""
+    for s in range(10, 31):
+        m = -(-(1 << s) // d)
+        if (xmax - 1) * m >= (1 << 31):
+            break
+        if all((x * m) >> s == x // d for x in range(0, xmax, 7)) and \
+           all((x * m) >> s == x // d for x in range(max(0, xmax - 800), xmax)):
+            # spot pattern passed; verify densely
+            if all((x * m) >> s == x // d for x in range(xmax)):
+                return m, s
+    raise AssertionError(f"no magic divisor for /{d} over [0, {xmax})")
+
+
+def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
+            out_ref, ac_ref):
     from jax.experimental.pallas import tpu as pltpu
 
     tabt = tabt_ref[...].astype(jnp.bfloat16)                 # (48, 16)
+    (m6, s6), (m394, s394), (m65, s65) = divs
 
-    # the whole body runs in lane chunks so live temporaries stay ~chunk-sized
-    # (full-width (RB, L) int32 temporaries would exhaust VMEM at 1080p);
+    # ---- put_AC per coefficient, chunked through VMEM -----------------------
     # chunk boundaries are multiples of 64, so tile segments never split
     for s in range(0, width, _CHUNK):
         e = min(s + _CHUNK, width)
@@ -60,8 +95,6 @@ def _kernel(width: int, tabt_ref, z_ref, code_ref, len_ref):
         run = pos - prev - 1
 
         # ---- compact B.14 key (ops/entropy.py _ac_key) -----------------------
-        # zero coefficients get a dummy value of 1 (their emitted length is
-        # zeroed by the caller), as in ops/entropy.py
         v = jnp.where(z == 0, 1, z)
         am1 = jnp.maximum(v, -v) - 1
         ka = (run <= 7) & (am1 <= 7)
@@ -77,10 +110,6 @@ def _kernel(width: int, tabt_ref, z_ref, code_ref, len_ref):
         k = jnp.where(ke, 124 + run - 17, k)
 
         # ---- table lookup: one-hot matmul per sublane row, all in VMEM ------
-        # tabt row 16*b + h = byte plane b of hi-group h; hi selection is a
-        # masked reduce (exactly one nonzero term per output).  Byte planes
-        # <= 255 are bf16-exact, so bf16 after the 32-bit-accumulated matmul
-        # is exact.
         klo = k & 15
         khi = k >> 4
         io16 = jax.lax.broadcasted_iota(jnp.int32, (16, e - s), 0)
@@ -97,51 +126,92 @@ def _kernel(width: int, tabt_ref, z_ref, code_ref, len_ref):
                         | (v2.astype(jnp.int32) << 16))
         eint = jnp.concatenate(rows, axis=0)                  # (RB, C)
 
-        # ---- symbol assembly (put_AC, RTL:2525-2547) -------------------------
+        # ---- packed symbol assembly (put_AC, RTL:2525-2547) ------------------
         valid = eint >= (1 << 22)
         code_t = (((eint >> 6) & 0xFFFF).astype(jnp.uint32) << 1) \
             | (v < 0).astype(jnp.uint32)
-        len_t = (eint & 63) + 1
+        len_t = ((eint & 63) + 1).astype(jnp.uint32)
         esc = (jnp.uint32(1) << 18) | (run.astype(jnp.uint32) << 12) \
             | (v & 0xFFF).astype(jnp.uint32)
-        code_ref[:, s:e] = jnp.where(valid, code_t, esc)
-        len_ref[:, s:e] = jnp.where(valid, len_t, 24)
+        packed = jnp.where(valid, code_t | (len_t << 27),
+                           esc | (jnp.uint32(24) << 27))
+        # zero coefficients (and the position-0 emit-flag lanes, which are
+        # never routed to an AC slot) emit nothing
+        ac_ref[:, s:e] = jnp.where(z == 0, jnp.uint32(0), packed)
+
+    # ---- slot routing: monotone carry-the-remainder lane barrel -------------
+    # source lane sl = (mb*6 + t)*64 + z must move RIGHT by
+    # off = HDR_SLOTS + 4 + 10*mb + t lanes (monotone in sl -> collision-free)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (_RB, sp), 1)
+    q = sl >> 6                                               # tile index
+    mb = (q * m6) >> s6
+    t = q - mb * 6
+    off = jnp.where(sl < width, 7 + 10 * mb + t, 0)
+    data = jnp.concatenate(
+        [ac_ref[...],
+         jnp.zeros((_RB, sp - width), jnp.uint32)], axis=1)   # (RB, SP)
+    rem = off
+    kbit = 1
+    while kbit <= 7 + 10 * (width // 384 - 1) + 5:
+        kbit <<= 1
+    kbit >>= 1
+    while kbit >= 1:
+        dmoved = pltpu.roll(data, shift=kbit, axis=1)
+        rmoved = pltpu.roll(rem, shift=kbit, axis=1)
+        take = (rmoved & kbit) > 0
+        data = jnp.where(take, dmoved, data)
+        rem = jnp.where(take, rmoved - kbit, rem)
+        kbit >>= 1
+
+    # ---- merge with the pre-packed non-AC slots -----------------------------
+    d = jax.lax.broadcasted_iota(jnp.int32, (_RB, sp), 1)
+    dm3 = d - HDR_SLOTS
+    mbd = (dm3 * m394) >> s394
+    within = dm3 - mbd * SLOTS_PER_MB
+    w4 = within - 4
+    td = (w4 * m65) >> s65
+    w65 = w4 - td * 65
+    is_ac = (dm3 >= 0) & (mbd < nbx) & (w4 >= 0) & (w65 >= 1) & (w65 <= 63)
+    out_ref[...] = jnp.where(is_ac, data, small_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ac_symbols_pallas(zmod: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(nby, L=nbx*6*64) int32 -> (codes uint32, lens int32), put_AC per lane.
-
-    zmod lane k belongs to zig position k & 63; position-0 lanes carry the
-    emit flag (nonzero iff the tile's position 0 'emits' for run purposes)."""
+def ac_slot_grid_pallas(zmod: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
+    """(nby, nbx*6*64) int coefficients + (nby, S) uint32 packed non-AC slots
+    -> (nby, S) uint32 complete packed slot grid (code | len << 27)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nby, width = zmod.shape
-    assert width % 64 == 0
+    assert width % 384 == 0
+    nbx = width // 384
+    s_out = small.shape[1]
+    assert s_out == HDR_SLOTS + nbx * SLOTS_PER_MB
+    sp = -(-s_out // 128) * 128
     rp = -(-nby // _RB) * _RB
-    z = jnp.pad(zmod, ((0, rp - nby), (0, 0)))
+    z = jnp.pad(zmod.astype(jnp.int32), ((0, rp - nby), (0, 0)))
+    sm = jnp.pad(small, ((0, rp - nby), (0, sp - s_out)))
 
-    codes, lens = pl.pallas_call(
-        functools.partial(_kernel, width),
+    divs = (_magic_div(6, width // 64),
+            _magic_div(SLOTS_PER_MB, sp),
+            _magic_div(65, SLOTS_PER_MB))
+
+    slots = pl.pallas_call(
+        functools.partial(_kernel, width, nbx, sp, divs),
         grid=(rp // _RB,),
         in_specs=[
             pl.BlockSpec((48, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_RB, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_RB, width), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, width), lambda i: (i, 0),
+            pl.BlockSpec((_RB, sp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rp, width), jnp.uint32),
-            jax.ShapeDtypeStruct((rp, width), jnp.int32),
-        ],
-    )(_table_t(), z)
-    return codes[:nby], lens[:nby]
+        out_specs=pl.BlockSpec((_RB, sp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, sp), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((_RB, width), jnp.uint32)],
+        interpret=_INTERPRET,
+    )(_table_t(), z, sm)
+    return slots[:nby, :s_out]
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,7 +1,7 @@
 """Pallas TPU kernel: fully fused motion estimation (stages X/Y/Z/F,
 RTL/mpeg2encoder.v:1310-1918) - SAD volume, argmin, recentering, half-pel
 refinement, inter/intra decision and luma prediction in ONE VMEM-resident
-kernel per 16-row strip.
+kernel per strip of macroblock rows.
 
 The XLA formulation (ops/motion.py) materialises the SAD volume, the
 recentered windows, four interpolation grids and nine candidate diffs in HBM
@@ -15,6 +15,17 @@ Per-macroblock data lives in two vector spaces that the MXU converts between:
 * MB space (one lane per macroblock): SADs, motion vectors, decisions;
 reductions ride a 0/1 block-diagonal matrix (exact: operands <= 255 in bf16
 byte planes, f32 accumulation), broadcasts ride its transpose.
+
+Segment folding (small-geometry lane occupancy)
+-----------------------------------------------
+One grid step processes G macroblock rows side by side: MB row s maps to
+folded row s // G, horizontal segment s % G.  Each segment has its own +-yr
+column pad, so every lane's window read stays inside its segment and the
+per-lane roll arithmetic is uniform - the kernel body is identical for any G.
+G = min(128 // nbx, nby), so a 352-wide frame (nbx=22) packs 5 MB rows per
+strip (110/128 lanes) instead of wasting 83% of the vector unit; 1920-wide
+frames keep G=1 (120/128).  MB lane l = (l // nbx)-th segment, column
+l % nbx; frame-edge masks are per-lane constants.
 
 Exactness contract (all bit-exact vs the golden model / XLA path):
 * 12-bit SAD overflow masking (RTL:1670) and frame-edge candidate masking;
@@ -41,6 +52,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Set True (tests only) to run the kernels via the Pallas CPU interpreter -
+# gives the CPU suite real coverage of the kernel bodies (ADVICE round 2).
+_INTERPRET = False
+
 
 def _barrel_stages(rng: int):
     stages, rem = [], 2 * rng
@@ -51,8 +66,24 @@ def _barrel_stages(rng: int):
     return stages
 
 
-def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
-            cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, iframe_ref,
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _geom(w: int, h: int, yr: int) -> Tuple[int, int, int, int, int]:
+    """(G, sw, wt, nbx, nbyf): segments per strip, segment stride (pixels),
+    padded total lane width, MBs per segment, folded strip count."""
+    nbx, nby = w // 16, h // 16
+    g = max(1, min(128 // nbx, nby))
+    sw = w + 2 * yr
+    wt = _pad128(g * sw)
+    nbyf = -(-nby // g)
+    return g, sw, wt, nbx, nbyf
+
+
+def _kernel(yr: int, w: int, sw: int, g: int, nbx: int, nby: int, wt: int,
+            magic: int, magicb: int,
+            cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
             pred_ref, meta_ref, rs_ref):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -60,14 +91,28 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
     n = 2 * yr + 1
     nn = n * n
     by = pl.program_id(0)
-    c16 = cur_ref[...]                                        # (16, Wp) int32
+    c16 = cur_ref[...]                                        # (16, WT) int32
     win = jnp.concatenate([p0_ref[...], p1_ref[...], p2_ref[...]], axis=0)
-    b = b_ref[...].astype(jnp.bfloat16)                       # (Wpp, 128)
-    bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, Wpp)
-    iframe = iframe_ref[0, 0]
+    b = b_ref[...].astype(jnp.bfloat16)                       # (WT, 128)
+    bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, WT)
+    iframe = scal_ref[0, 0]
+    first_row = scal_ref[0, 1]    # global MB row of local row 0 (sharding)
+    tot_rows = scal_ref[0, 2]     # global MB row count
+
+    # per-MB-lane maps: segment g_l = lane // nbx (exact magic-multiply
+    # division, verified statically in the wrapper), MB column bx_l
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    g_l = (lane * magicb) >> 15
+    bx_l = lane - g_l * nbx
+    s_l = by * g + g_l                                        # local MB row
+    dead = (lane >= g * nbx) | (s_l >= nby)
+    edge_l = bx_l == 0
+    edge_r = bx_l == nbx - 1
+    edge_t = first_row + s_l == 0                 # GLOBAL frame edges, so
+    edge_b = first_row + s_l == tot_rows - 1      # shard seams aren't edges
 
     def reduce_mb(rows):
-        """(K, Wpp) col sums <= 4080 -> (K, 128) exact block sums (byte-split
+        """(K, WT) col sums <= 4080 -> (K, 128) exact block sums (byte-split
         bf16 matmul, f32 accumulation; values < 2**24)."""
         lo = (rows & 255).astype(jnp.float32).astype(jnp.bfloat16)
         hi = (rows >> 8).astype(jnp.float32).astype(jnp.bfloat16)
@@ -76,35 +121,31 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
         return s_hi.astype(jnp.int32) * 256 + s_lo.astype(jnp.int32)
 
     def bcast_lanes(rows_mb):
-        """(K, 128) small nonneg ints (<= 255) -> (K, Wpp) per-MB broadcast."""
+        """(K, 128) small nonneg ints (<= 255) -> (K, WT) per-MB broadcast."""
         v = rows_mb.astype(jnp.float32).astype(jnp.bfloat16)
         return jnp.dot(v, bt, preferred_element_type=jnp.float32).astype(jnp.int32)
 
     # ---- full-pel SAD volume + pixel-sum row (RTL CALC_DIFF, :1650-1672) ----
-    cpad = jnp.concatenate(
-        [c16, jnp.zeros((16, wpp - wp), jnp.int32)], axis=1)  # (16, Wpp)
+    # lane k*sw + c holds cur col c of segment k; win data sits at +yr, so a
+    # left-roll by (yr + dx) aligns prev col c+dx under cur col c - reads stay
+    # inside the segment's own +-yr pad for every candidate.
     for dx in range(-yr, yr + 1):
-        shifted = pltpu.roll(win, shift=(wpp - (yr + dx)) % wpp, axis=1)
+        shifted = pltpu.roll(win, shift=(wt - (yr + dx)) % wt, axis=1)
         for dy in range(-yr, yr + 1):
-            x = cpad - shifted[16 + dy:32 + dy, :]
+            x = c16 - shifted[16 + dy:32 + dy, :]
             d = jnp.maximum(x, -x)
             rs_ref[(dy + yr) * n + (dx + yr), :] = jnp.sum(d, axis=0)
-    rs_ref[nn, :] = jnp.sum(cpad, axis=0)                     # pixel sums
+    rs_ref[nn, :] = jnp.sum(c16, axis=0)                      # pixel sums
     nout = rs_ref.shape[0]
     for k in range(nn + 1, nout):
-        rs_ref[k, :] = jnp.zeros((wpp,), jnp.int32)
+        rs_ref[k, :] = jnp.zeros((wt,), jnp.int32)
     sadv = reduce_mb(rs_ref[...])                             # (nout, 128)
 
     # ---- argmin with the RTL tie-break (largest dy, then dx; :1694-1710) ----
     row = jax.lax.broadcasted_iota(jnp.int32, (nout, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (nout, 128), 1)
     dyi = (row * magic) >> 15                                 # row // n
     dxi = row - dyi * n                                       # row % n
-    edge_l = lane == 0
-    edge_r = lane == nbx - 1
-    edge_t = by == 0
-    edge_b = by == nby - 1
-    invalid = (row >= nn) | (sadv > 4095) \
+    invalid = (row >= nn) | (sadv > 4095) | dead \
         | (edge_l & (dxi < yr)) | (edge_r & (dxi > yr)) \
         | ((dyi < yr) & edge_t) | ((dyi > yr) & edge_b)
     big = jnp.int32(1 << 24)
@@ -120,7 +161,7 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
 
     # ---- per-lane maps (one broadcast matmul) -------------------------------
     maps = bcast_lanes(jnp.concatenate(
-        [mvx_full + yr, mvy_full + yr, mean], axis=0))        # (3, Wpp)
+        [mvx_full + yr, mvy_full + yr, mean], axis=0))        # (3, WT)
     mvxl = maps[0:1, :]
     mvyl = maps[1:2, :]
     meanl = maps[2:3, :]
@@ -134,10 +175,10 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
     col0 = jnp.zeros_like(win30)
     colp1 = jnp.zeros_like(win30)
     for dx in range(-yr, yr + 1):
-        mask = mvxl == (dx + yr)                              # (1, Wpp)
-        r0 = pltpu.roll(win30, shift=(wpp - (yr + dx)) % wpp, axis=1)
-        rm1 = pltpu.roll(win30, shift=(wpp - (yr + dx - 1)) % wpp, axis=1)
-        rp1 = pltpu.roll(win30, shift=(wpp - (yr + dx + 1)) % wpp, axis=1)
+        mask = mvxl == (dx + yr)                              # (1, WT)
+        r0 = pltpu.roll(win30, shift=(wt - (yr + dx)) % wt, axis=1)
+        rm1 = pltpu.roll(win30, shift=(wt - (yr + dx - 1)) % wt, axis=1)
+        rp1 = pltpu.roll(win30, shift=(wt - (yr + dx + 1)) % wt, axis=1)
         colm1 = jnp.where(mask, rm1, colm1)
         col0 = jnp.where(mask, r0, col0)
         colp1 = jnp.where(mask, rp1, colp1)
@@ -150,7 +191,7 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
             h -= s
             curw = jnp.where(rem >= s, curw[s:s + h, :], curw[:h, :])
             rem = rem - jnp.where(rem >= s, s, 0)
-        return curw                                           # (18, Wpp)
+        return curw                                           # (18, WT)
 
     recm1 = row_align(colm1)
     rec0 = row_align(col0)
@@ -168,28 +209,25 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
         ry = (hy + 1) >> 1
         for hx in (-1, 0, 1):
             if hy == 0 and hx == 0:
-                g = rec0[1:17, :]
+                g_ = rec0[1:17, :]
             elif hy == 0:
                 a, bb = (recm1, rec0) if hx < 0 else (rec0, recp1)
-                g = m2(a[1:17, :], bb[1:17, :])
+                g_ = m2(a[1:17, :], bb[1:17, :])
             elif hx == 0:
-                g = m2(rec0[ry:ry + 16, :], rec0[ry + 1:ry + 17, :])
+                g_ = m2(rec0[ry:ry + 16, :], rec0[ry + 1:ry + 17, :])
             else:
                 a, bb = (recm1, rec0) if hx < 0 else (rec0, recp1)
-                g = m4(a[ry:ry + 16, :], bb[ry:ry + 16, :],
-                       a[ry + 1:ry + 17, :], bb[ry + 1:ry + 17, :])
-            cands.append(g)
+                g_ = m4(a[ry:ry + 16, :], bb[ry:ry + 16, :],
+                        a[ry + 1:ry + 17, :], bb[ry + 1:ry + 17, :])
+            cands.append(g_)
 
     rs2 = jnp.concatenate(
-        [jnp.sum(jnp.abs(cpad - g), axis=0, keepdims=True) for g in cands]
-        + [jnp.sum(jnp.abs(cpad - meanl), axis=0, keepdims=True),
-           jnp.zeros((16 - 10, wpp), jnp.int32)], axis=0)     # (16, Wpp)
+        [jnp.sum(jnp.abs(c16 - g_), axis=0, keepdims=True) for g_ in cands]
+        + [jnp.sum(jnp.abs(c16 - meanl), axis=0, keepdims=True),
+           jnp.zeros((16 - 10, wt), jnp.int32)], axis=0)      # (16, WT)
     hsad = reduce_mb(rs2)                                     # (16, 128)
 
     # ---- candidate masking + intra metric (f_Y_sum quirk) -------------------
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    el = lane1 == 0
-    er = lane1 == nbx - 1
     over = jnp.int32(0x1000)
     vals = []
     for i9, (hy, hx) in enumerate([(hy, hx) for hy in (-1, 0, 1)
@@ -197,9 +235,9 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
         s = hsad[i9:i9 + 1, :]
         bad = jnp.zeros((1, 128), jnp.bool_)
         if hx < 0:
-            bad = bad | el | (mvx_full == -yr)
+            bad = bad | edge_l | (mvx_full == -yr)
         if hx > 0:
-            bad = bad | er | (mvx_full == yr)
+            bad = bad | edge_r | (mvx_full == yr)
         if hy < 0:
             bad = bad | (mvy_full == -yr) | edge_t
         if hy > 0:
@@ -211,9 +249,9 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
 
     # ---- find_min_in_10_values tournament (RTL:804-840) ---------------------
     def pick(lo, hi):
-        w = jnp.where(vals[hi] < vals[lo], vals[hi], vals[lo])
-        i = jnp.where(vals[hi] < vals[lo], hi, lo)
-        return w, i
+        w_ = jnp.where(vals[hi] < vals[lo], vals[hi], vals[lo])
+        i_ = jnp.where(vals[hi] < vals[lo], hi, lo)
+        return w_, i_
     w01, i01 = pick(0, 1)
     w23, i23 = pick(2, 3)
     w45, i45 = pick(4, 5)
@@ -236,12 +274,12 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
 
     # ---- luma prediction: selected candidate grid or 128 --------------------
     sel = bcast_lanes(jnp.concatenate(
-        [idx, inter.astype(jnp.int32)], axis=0))              # (2, Wpp)
+        [idx, inter.astype(jnp.int32)], axis=0))              # (2, WT)
     idxl, interl = sel[0:1, :], sel[1:2, :]
-    pred = jnp.full((16, wpp), 128, jnp.int32)
+    pred = jnp.full((16, wt), 128, jnp.int32)
     for i9 in range(9):
         pred = jnp.where((interl > 0) & (idxl == i9), cands[i9], pred)
-    pred_ref[...] = pred[:, :wp]
+    pred_ref[...] = pred
 
     meta = jnp.concatenate(
         [mvx, mvy, inter.astype(jnp.int32),
@@ -249,74 +287,127 @@ def _kernel(yr: int, wp: int, wpp: int, nbx: int, nby: int, magic: int,
     meta_ref[0] = meta
 
 
-@functools.partial(jax.jit, static_argnames=("yr",))
+def _fold_strips(x: jnp.ndarray, rows: int, g: int, nbyf: int, sw: int,
+                 wt: int, col_off: int) -> jnp.ndarray:
+    """(nstrips*rows, w') plane -> folded (nbyf*rows, WT): strip s lands at
+    folded row s // g, columns [ (s % g)*sw + col_off, +w' ).  Strips beyond
+    the input are zero."""
+    nstr, w_ = x.shape[0] // rows, x.shape[1]
+    if nstr > nbyf * g:
+        x = x[: nbyf * g * rows]
+    else:
+        x = jnp.pad(x, ((0, (nbyf * g - nstr) * rows), (0, 0)))
+    f = x.reshape(nbyf, g, rows, w_).transpose(0, 2, 1, 3)    # (nbyf,rows,g,w')
+    f = jnp.pad(f, ((0, 0), (0, 0), (0, 0),
+                    (col_off, sw - w_ - col_off)))            # (nbyf,rows,g,sw)
+    f = f.reshape(nbyf * rows, g * sw)
+    return jnp.pad(f, ((0, 0), (0, wt - g * sw)))
+
+
+def _unfold_strips(x: jnp.ndarray, rows: int, g: int, nstr: int, sw: int,
+                   w_: int) -> jnp.ndarray:
+    """Inverse of _fold_strips (data at column offset 0): -> (nstr*rows, w_)."""
+    nbyf = x.shape[0] // rows
+    f = x[:, :g * sw].reshape(nbyf, rows, g, sw)[:, :, :, :w_]
+    return f.transpose(0, 2, 1, 3).reshape(nbyf * g * rows, w_)[:nstr * rows]
+
+
+@functools.partial(jax.jit, static_argnames=("yr", "halo", "as_plane"))
 def motion_estimate_pallas(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
-                           is_iframe: jnp.ndarray, yr: int
+                           is_iframe: jnp.ndarray, yr: int,
+                           first_mb_row=None, total_mb_rows=None,
+                           halo: bool = False, as_plane: bool = False,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray]:
-    """Fused luma motion estimation + prediction for one frame.
+    """Fused luma motion estimation + prediction for one frame or one
+    slice-row band.
 
-    cur_y/prev_y (H, W) uint8, is_iframe traced bool scalar ->
+    cur_y (H, W) uint8; prev_y (H, W) uint8, or (H + 16, W) with an 8-row
+    reconstruction halo each side when ``halo=True`` (the sharded band form,
+    matching ops/motion.estimate_and_predict_local); is_iframe traced bool ->
     (inter (nby, nbx) bool, mvx, mvy (nby, nbx) int32 half-pel,
-    pred_y (nby, nbx, 16, 16) int32).  Bit-exact vs ops/motion.py's XLA path.
-    Requires nbx <= 128 (true up to the 2048-wide max geometry).
-    """
+    pred_y (nby, nbx, 16, 16) int32).  first_mb_row/total_mb_rows (traced)
+    give the band's global position so frame-edge masking ignores shard
+    seams.  Bit-exact vs ops/motion.py's XLA path.  Requires nbx <= 128
+    (true up to the 2048-wide max geometry)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = cur_y.shape
     nby, nbx = h // 16, w // 16
     n = 2 * yr + 1
-    wp = -(-w // 128) * 128
+    g, sw, wt, _, nbyf = _geom(w, h, yr)
     nout = -(-(n * n + 1) // 8) * 8
     magic = -(-(1 << 15) // n)                # x//n == (x*magic)>>15 on the
     for x in range(max(nout, 256)):           # domain we use; verify statically
         assert (x * magic) >> 15 == x // n, (n, x)
+    magicb = -(-(1 << 15) // nbx)             # lane // nbx for lane < 128
+    for x in range(128):
+        assert (x * magicb) >> 15 == x // nbx, (nbx, x)
+    if first_mb_row is None:
+        first_mb_row = jnp.int32(0)
+    if total_mb_rows is None:
+        total_mb_rows = jnp.int32(nby)
 
-    cur = jnp.pad(cur_y, ((0, 0), (0, wp - w))).astype(jnp.int32)
-    wpp = -(-(wp + 2 * yr) // 128) * 128
-    prev = jnp.pad(prev_y, ((16, 16), (yr, wpp - w - yr))).astype(jnp.int32)
-    iframe = jnp.asarray(is_iframe, jnp.int32).reshape(1, 1)
+    curf = _fold_strips(cur_y.astype(jnp.int32), 16, g, nbyf, sw, wt, 0)
+    # the kernel reads 16-row strips above/below each MB row but only uses
+    # yr + 1 <= 7 of them, so an 8-row halo (sharded form) is enough
+    pad_v = 8 if halo else 16
+    prev_p = jnp.pad(prev_y, ((pad_v, pad_v), (0, 0))).astype(jnp.int32)
+    p0 = _fold_strips(prev_p[0:], 16, g, nbyf, sw, wt, yr)
+    p1 = _fold_strips(prev_p[16:], 16, g, nbyf, sw, wt, yr)
+    p2 = _fold_strips(prev_p[32:], 16, g, nbyf, sw, wt, yr)
+    scal = jnp.stack([jnp.asarray(is_iframe, jnp.int32),
+                      jnp.asarray(first_mb_row, jnp.int32),
+                      jnp.asarray(total_mb_rows, jnp.int32),
+                      jnp.int32(0)]).reshape(1, 4)
 
     pred, meta = pl.pallas_call(
-        functools.partial(_kernel, yr, wp, wpp, nbx, nby, magic),
-        grid=(nby,),
+        functools.partial(_kernel, yr, w, sw, g, nbx, nby, wt, magic, magicb),
+        grid=(nbyf,),
         in_specs=[
-            pl.BlockSpec((16, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, wpp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, wpp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, wpp), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wpp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, wpp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wt, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, wt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nby * 16, wp), jnp.int32),
-            jax.ShapeDtypeStruct((nby, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf * 16, wt), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf, 8, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((nout, wpp), jnp.int32)],
-    )(cur, prev, prev, prev, _reduce_matrix(wpp, w), _bcast_matrix(wpp, w),
-      iframe)
+        scratch_shapes=[pltpu.VMEM((nout, wt), jnp.int32)],
+        interpret=_INTERPRET,
+    )(curf, p0, p1, p2, _reduce_matrix(wt, w, sw, g, nbx),
+      _bcast_matrix(wt, w, sw, g, nbx), scal)
 
-    pred_y = pred[:, :w].reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)
-    mvx = meta[:, 0, :nbx]
-    mvy = meta[:, 1, :nbx]
-    inter = meta[:, 2, :nbx] != 0
+    pred_full = _unfold_strips(pred, 16, g, nby, sw, w)       # (nby*16, w)
+    if as_plane:
+        pred_y = pred_full               # strip plane (H, W) - transform-kernel form
+    else:
+        pred_y = pred_full.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)
+
+    def unfold_mb(row):
+        return row[:, :g * nbx].reshape(nbyf * g, nbx)[:nby]
+    mvx = unfold_mb(meta[:, 0])
+    mvy = unfold_mb(meta[:, 1])
+    inter = unfold_mb(meta[:, 2]) != 0
     return inter, mvx, mvy, pred_y
 
 
-def _chroma_kernel(ur: int, wc: int, wcp: int, nbx: int,
+def _chroma_kernel(ur: int, wc: int, swc: int, g: int, nbx: int, wt: int,
                    p0u_ref, p1u_ref, p0v_ref, p1v_ref, bt_ref, meta_ref,
                    pu_ref, pv_ref):
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, Wcp)
+    bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, WT)
     meta = meta_ref[0]                                        # (8, 128) int32
     mvx, mvy, inter = meta[0:1, :], meta[1:2, :], meta[2:3, :]
     cfx, cfy = mvx >> 2, mvy >> 2                             # in [-ur, ur]
@@ -329,19 +420,21 @@ def _chroma_kernel(ur: int, wc: int, wcp: int, nbx: int,
 
     def predict(w16):
         # per-lane column select from the unshifted window (consistent shifts
-        # across MB boundaries), then a per-lane row barrel
+        # across MB boundaries), then a per-lane row barrel.  Window data sits
+        # at +4 within each segment, so a left-roll by (4 + dx) aligns prev
+        # col c+dx under lane c - reads stay inside the segment's 4-col pads.
         r0 = jnp.zeros_like(w16)
         rp1 = jnp.zeros_like(w16)
         for dx in range(-ur, ur + 1):
             mask = cfxl == (dx + ur)
             r0 = jnp.where(mask,
-                           pltpu.roll(w16, shift=(wcp - (4 + dx)) % wcp,
+                           pltpu.roll(w16, shift=(wt - (4 + dx)) % wt,
                                       axis=1), r0)
             rp1 = jnp.where(mask,
-                            pltpu.roll(w16, shift=(wcp - (4 + dx + 1)) % wcp,
+                            pltpu.roll(w16, shift=(wt - (4 + dx + 1)) % wt,
                                        axis=1), rp1)
-        # rows: w16 row r holds prev row 8*by + r - 4 (4-row halo pad); the
-        # window needs prev rows [8*by + cfy, +10) for the +1 interp row:
+        # rows: w16 row r holds prev row 8*s + r - 4 (4-row halo pad); the
+        # window needs prev rows [8*s + cfy, +10) for the +1 interp row:
         # base slice [4 - ur : 4 + ur + 9), then barrel by cfy + ur
         h = 9 + 2 * ur
 
@@ -353,7 +446,7 @@ def _chroma_kernel(ur: int, wc: int, wcp: int, nbx: int,
                 hh -= s
                 cur = jnp.where(rem >= s, cur[s:s + hh, :], cur[:hh, :])
                 rem = rem - jnp.where(rem >= s, s, 0)
-            return cur                                        # (9, Wcp)
+            return cur                                        # (9, WT)
 
         a0 = row_align(r0)
         a1 = row_align(rp1)
@@ -367,85 +460,112 @@ def _chroma_kernel(ur: int, wc: int, wcp: int, nbx: int,
                       jnp.where(hxb, ph, jnp.where(hyb, pv_, p00)))
         return jnp.where(interl > 0, p, jnp.int32(128))
 
-    wu = jnp.concatenate([p0u_ref[...], p1u_ref[...]], axis=0)  # (16, Wcp)
+    wu = jnp.concatenate([p0u_ref[...], p1u_ref[...]], axis=0)  # (16, WT)
     wv = jnp.concatenate([p0v_ref[...], p1v_ref[...]], axis=0)
-    pu_ref[...] = predict(wu)[:, :wc]
-    pv_ref[...] = predict(wv)[:, :wc]
+    pu_ref[...] = predict(wu)
+    pv_ref[...] = predict(wv)
 
 
 def chroma_pred_pallas(prev_u: jnp.ndarray, prev_v: jnp.ndarray,
                        inter: jnp.ndarray, mvx: jnp.ndarray, mvy: jnp.ndarray,
-                       ur: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       ur: int, halo: bool = False, as_plane: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chroma prediction (RTL:1847-1917) as one VMEM-resident kernel per
-    8-row chroma strip: prev_u/prev_v (H/2, W/2) uint8, per-MB mv/inter ->
-    (nby, nbx, 8, 8) int32 predictions x2.  Bit-exact vs ops/motion's XLA
-    _chroma_pred."""
+    folded 8-row chroma strip: prev_u/prev_v (H/2, W/2) uint8 - or
+    (H/2 + 8, W/2) with a 4-row halo each side when ``halo=True`` (sharded
+    band form) - plus per-MB mv/inter -> (nby, nbx, 8, 8) int32 predictions
+    x2.  Bit-exact vs ops/motion's XLA _chroma_pred.  Uses the same G-segment
+    folding as the luma kernel so MB lanes line up across the two."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     hc, wcr = prev_u.shape
+    if halo:
+        hc -= 8
     nby, nbx = hc // 8, wcr // 8
-    wc = -(-wcr // 128) * 128
-    wcp = -(-(wc + 2 * ur + 2) // 128) * 128
-    pu = jnp.pad(prev_u, ((4, 4), (4, wcp - wcr - 4))).astype(jnp.int32)
-    pv = jnp.pad(prev_v, ((4, 4), (4, wcp - wcr - 4))).astype(jnp.int32)
-    meta = jnp.zeros((nby, 8, 128), jnp.int32)
-    meta = meta.at[:, 0, :nbx].set(mvx).at[:, 1, :nbx].set(mvy) \
-        .at[:, 2, :nbx].set(inter.astype(jnp.int32))
+    g, _, _, _, nbyf = _geom(wcr * 2, hc * 2, 1)              # G from luma geom
+    swc = wcr + 8
+    wt = _pad128(g * swc)
+
+    if halo:
+        pu_p = prev_u.astype(jnp.int32)
+        pv_p = prev_v.astype(jnp.int32)
+    else:
+        pu_p = jnp.pad(prev_u, ((4, 4), (0, 0))).astype(jnp.int32)
+        pv_p = jnp.pad(prev_v, ((4, 4), (0, 0))).astype(jnp.int32)
+    u0 = _fold_strips(pu_p[0:], 8, g, nbyf, swc, wt, 4)
+    u1 = _fold_strips(pu_p[8:], 8, g, nbyf, swc, wt, 4)
+    v0 = _fold_strips(pv_p[0:], 8, g, nbyf, swc, wt, 4)
+    v1 = _fold_strips(pv_p[8:], 8, g, nbyf, swc, wt, 4)
+
+    meta = jnp.zeros((nbyf, 8, 128), jnp.int32)
+    mvf = jnp.pad(mvx, ((0, nbyf * g - nby), (0, 0))).reshape(nbyf, g * nbx)
+    mvyf = jnp.pad(mvy, ((0, nbyf * g - nby), (0, 0))).reshape(nbyf, g * nbx)
+    intf = jnp.pad(inter.astype(jnp.int32),
+                   ((0, nbyf * g - nby), (0, 0))).reshape(nbyf, g * nbx)
+    meta = meta.at[:, 0, :g * nbx].set(mvf).at[:, 1, :g * nbx].set(mvyf) \
+        .at[:, 2, :g * nbx].set(intf)
 
     pred_u, pred_v = pl.pallas_call(
-        functools.partial(_chroma_kernel, ur, wc, wcp, nbx),
-        grid=(nby,),
+        functools.partial(_chroma_kernel, ur, wcr, swc, g, nbx, wt),
+        grid=(nbyf,),
         in_specs=[
-            pl.BlockSpec((8, wcp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wcp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wcp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wcp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, wcp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, wt), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nby * 8, wc), jnp.int32),
-            jax.ShapeDtypeStruct((nby * 8, wc), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf * 8, wt), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf * 8, wt), jnp.int32),
         ],
-    )(pu, pu, pv, pv, _bcast_matrix_c(wcp, wcr), meta)
+        interpret=_INTERPRET,
+    )(u0, u1, v0, v1, _bcast_matrix_c(wt, wcr, swc, g, nbx), meta)
 
     def fold(p):
-        return p[:, :wcr].reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        full = _unfold_strips(p, 8, g, nby, swc, wcr)         # (nby*8, wc)
+        if as_plane:
+            return full
+        return full.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
     return fold(pred_u), fold(pred_v)
 
 
 @functools.lru_cache(maxsize=None)
-def _bcast_matrix_c_np(wcp: int, w: int):
-    m = np.zeros((128, wcp), np.float32)
-    for x in range(w):
-        m[x // 8, x] = 1.0
+def _bcast_matrix_c_np(wt: int, w: int, swc: int, g: int, nbx: int):
+    m = np.zeros((128, wt), np.float32)
+    for k in range(g):
+        for c in range(w):
+            m[k * nbx + c // 8, k * swc + c] = 1.0
     return m
 
 
-def _bcast_matrix_c(wcp: int, w: int):
-    return jnp.asarray(_bcast_matrix_c_np(wcp, w))
+def _bcast_matrix_c(wt: int, w: int, swc: int, g: int, nbx: int):
+    return jnp.asarray(_bcast_matrix_c_np(wt, w, swc, g, nbx))
 
 
 @functools.lru_cache(maxsize=None)
-def _reduce_matrix_np(wpp: int, w: int):
-    m = np.zeros((wpp, 128), np.float32)
-    for x in range(w):
-        m[x, x // 16] = 1.0
+def _reduce_matrix_np(wt: int, w: int, sw: int, g: int, nbx: int):
+    m = np.zeros((wt, 128), np.float32)
+    for k in range(g):
+        for c in range(w):
+            m[k * sw + c, k * nbx + c // 16] = 1.0
     return m
 
 
-def _reduce_matrix(wpp: int, w: int):
-    return jnp.asarray(_reduce_matrix_np(wpp, w))
+def _reduce_matrix(wt: int, w: int, sw: int, g: int, nbx: int):
+    return jnp.asarray(_reduce_matrix_np(wt, w, sw, g, nbx))
 
 
-def _bcast_matrix(wpp: int, w: int):
-    return jnp.asarray(np.ascontiguousarray(_reduce_matrix_np(wpp, w).T))
+def _bcast_matrix(wt: int, w: int, sw: int, g: int, nbx: int):
+    return jnp.asarray(
+        np.ascontiguousarray(_reduce_matrix_np(wt, w, sw, g, nbx).T))
 
 
 def supported() -> bool:

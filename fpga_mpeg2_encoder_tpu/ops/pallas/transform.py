@@ -1,0 +1,335 @@
+"""Pallas TPU kernel: the whole transform loop (stages G/H/J/K/M/N/P,
+RTL/mpeg2encoder.v:1924-2357) in FRAME-STRIP layout - residual, forward DCT,
+quantise, dequantise, Chen-Wang inverse DCT and reconstruction in one
+VMEM-resident pass, with NO tile marshalling through HBM.
+
+Why a layout-free kernel
+------------------------
+The XLA formulation (ops/dct.py driven by models/encoder.py) is
+coefficient-major: tiles must be marshalled (H, W) <-> (64, N) around every
+stage, and round-2 profiling showed the transform stage is ~70% HBM layout
+marshalling, only ~0.35 ms/frame of math; a hand-fused 6D transpose benched
+SLOWER than XLA's staged reshapes (docs/STATUS.md).  The fix is to never
+leave the natural (H, W) strip layout: tile rows live in sublanes
+(v = row & 7), tile columns in lanes (u = lane & 7), and every per-tile
+8-point operation becomes a set of statically shifted whole-strip ops:
+
+* forward DCT column/row passes (linear): 15 masked roll-MACs per pass -
+  y[p] = sum_j M[p,j] x[j] per aligned 8-group is sum_d roll(x, -d) * c_d
+  with c_d a per-position constant built from iota and Python ints.  Tile
+  structure guarantees every unmasked read stays inside its own tile, so
+  rolls never leak across tiles, frame edges or the U|V chroma seam.
+* quantise / dequantise (RTL:2064-2077, 2128-2150): elementwise; INTRA_Q
+  weight/reciprocal planes are rebuilt in-register from iota selects; the
+  per-MB inter flag arrives as a (rows/16, W) lane-replicated plane and is
+  broadcast across sublanes with 8 selects.
+* Chen-Wang IDCT (nonlinear per-stage truncations, RTL:843-972): inputs of
+  each butterfly are tile-broadcast arrays - 15 rolls + per-lane (or
+  per-sublane) selects build x_j[l] = F[tile(l), j] for all 8 j, the
+  butterfly then runs on full-width arrays and a final positional select
+  keeps each lane's own output.  Everything stays int32; no matmuls, no
+  bf16 splitting, nothing to prove about float exactness.
+* reconstruction add/clip (RTL:2350-2352) in-strip.
+
+The kernel emits reconstructed strips AND quantised coefficients in strip
+layout; the zig-zag tile-major view the entropy stage needs is one XLA
+relayout of q alone (the old path relayouted cur, pred, recon AND q).
+
+Grid: one step per GS luma macroblock rows (GS*16 sublanes); chroma runs in
+the same step on a U|V horizontally concatenated (GS*8, W) block, so luma
+and chroma share the kernel body.  Bit-exact vs ops/dct.py (CPU interpret
+tests + on-chip A/B).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import tables as T
+
+# Set True (tests only) to run the kernel via the Pallas CPU interpreter.
+_INTERPRET = False
+
+
+def _gs_for(w: int) -> int:
+    """Luma MB-row strips per grid step: full 128 sublanes for common widths,
+    halved at the widest geometries to keep block + temporary VMEM bounded."""
+    return 8 if w <= 1152 else 4
+
+
+def _roll_mac(x, m: np.ndarray, axis: int):
+    """Linear 8-point transform on every aligned 8-group along `axis`:
+    out[p] = sum_j m[p, j] x[j], as 15 masked shifted int32 MACs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[axis]
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & 7
+    out = jnp.zeros_like(x)
+    for d in range(-7, 8):
+        taps = [(p, int(m[p, p + d])) for p in range(8)
+                if 0 <= p + d < 8 and m[p, p + d] != 0]
+        if not taps:
+            continue
+        const = jnp.zeros_like(x)
+        for p, c in taps:
+            const = jnp.where(idx8 == p, jnp.int32(c), const)
+        shifted = pltpu.roll(x, shift=(n - d) % n, axis=axis)
+        out = out + shifted * const
+    return out
+
+
+def _group_bcast_inputs(x, axis: int):
+    """For every aligned 8-group along `axis`, return 8 arrays b[j] with
+    b[j][k] = x[group(k)*8 + j]: 15 rolls + 8x8 positional selects."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[axis]
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & 7
+    out = [jnp.zeros_like(x) for _ in range(8)]
+    # one rolled copy live at a time (VMEM): scatter shift d into every b[j]
+    # whose position p = j - d needs it
+    for d in range(-7, 8):
+        zd = pltpu.roll(x, shift=(n - d) % n, axis=axis)  # zd[k] = x[k + d]
+        for j in range(8):
+            p = j - d
+            if 0 <= p < 8:
+                out[j] = jnp.where(idx8 == p, zd, out[j])
+    return out
+
+
+def _cw_stage(a, rounding: bool):
+    """One Chen-Wang butterfly stage on 8 parallel int32 arrays
+    (RTL:843-972; identical arithmetic to ops/dct._cw_stage)."""
+    W1, W2, W3, W5, W6, W7 = T.W1, T.W2, T.W3, T.W5, T.W6, T.W7
+    x0, x1, x2, x3 = a[0], a[4], a[6], a[2]
+    x4, x5, x6, x7 = a[1], a[7], a[5], a[3]
+    if not rounding:
+        x0 = (x0 << 11) | 128
+        x1 = x1 << 11
+        r4, sh = 0, 0
+    else:
+        x0 = (x0 << 8) + 8192
+        x1 = x1 << 8
+        r4, sh = 4, 3
+    x8 = W7 * (x4 + x5) + r4
+    x4 = (x8 + (W1 - W7) * x4) >> sh
+    x5 = (x8 - (W1 + W7) * x5) >> sh
+    x8 = W3 * (x6 + x7) + r4
+    x6 = (x8 - (W3 - W5) * x6) >> sh
+    x7 = (x8 - (W3 + W5) * x7) >> sh
+    x8 = x0 + x1
+    x0 = x0 - x1
+    x1 = W6 * (x3 + x2) + r4
+    x2 = (x1 - (W2 + W6) * x2) >> sh
+    x3 = (x1 + (W2 - W6) * x3) >> sh
+    x1 = x4 + x6
+    x4 = x4 - x6
+    x6 = x5 + x7
+    x5 = x5 - x7
+    x7 = x8 + x3
+    x8 = x8 - x3
+    x3 = x0 + x2
+    x0 = x0 - x2
+    x2 = (181 * (x4 + x5) + 128) >> 8
+    x4 = (181 * (x4 - x5) + 128) >> 8
+    fs = 8 if not rounding else 14
+    return [(x7 + x1) >> fs, (x3 + x2) >> fs, (x0 + x4) >> fs, (x8 + x6) >> fs,
+            (x8 - x6) >> fs, (x0 - x4) >> fs, (x3 - x2) >> fs, (x7 - x1) >> fs]
+
+
+def _positional_select(outs, axis: int, shape):
+    """out[k] = outs[k & 7][k] along `axis` - keep each position's own lane."""
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, shape, axis) & 7
+    r = outs[0]
+    for p in range(1, 8):
+        r = jnp.where(idx8 == p, outs[p], r)
+    return r
+
+
+def _transform_block(cur, pred, im, q_level: int):
+    """Shared per-plane body: (rows, W) int32 cur/pred strips + the per-MB
+    inter flag pre-replicated to pixel resolution -> (q, recon) strips."""
+    m = np.asarray(T.DCTM, np.int64)
+    shape = cur.shape
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, shape, 0) & 7
+    lan8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1) & 7
+
+    resid = cur - pred                                        # |.| <= 255
+
+    # ---- forward DCT (RTL:2025-2062): col pass, row pass, exact rounding ---
+    cp = _roll_mac(resid, m, 0)                               # M @ X per tile
+    t = _roll_mac(cp, m, 1)                                   # ... @ M^T
+    r = (t >> 12) + ((t >> 11) & 1)
+    r = ((r & 0x1FFFF) ^ 0x10000) - 0x10000                   # 17-bit wrap
+
+    # ---- quantise (RTL:2064-2077) ------------------------------------------
+    # INTRA_Q weight / exact-reciprocal planes from iota selects (tiny)
+    iq = jnp.zeros(shape, jnp.int32)
+    rq = jnp.zeros(shape, jnp.float32)
+    q_np = np.asarray(T.INTRA_Q, np.int64)
+    for v in range(8):
+        row_iq = jnp.zeros((1, shape[1]), jnp.int32)
+        row_rq = jnp.zeros((1, shape[1]), jnp.float32)
+        for u in range(8):
+            wvu = int(q_np[v, u])
+            row_iq = jnp.where(lan8[:1] == u, jnp.int32(wvu), row_iq)
+            row_rq = jnp.where(lan8[:1] == u,
+                               jnp.float32((1.0 + 2.0 ** -21) / wvu), row_rq)
+        iq = jnp.where(sub8 == v, row_iq, iq)
+        rq = jnp.where(sub8 == v, row_rq, rq)
+
+    a = jnp.abs(r) & 0xFFFF
+    q_inter = ((a + 2) & 0xFFFF) >> (4 + q_level)
+    off = (iq * ((3 << q_level) + 2)) >> 3
+    tq = ((a + off) & 0xFFFF) >> q_level
+    q_intra = jnp.floor(tq.astype(jnp.float32) * rq).astype(jnp.int32)
+    is_dc = (sub8 == 0) & (lan8 == 0)
+    q_intra = jnp.where(is_dc, (a >> 4) + ((a >> 3) & 1), q_intra)
+    q = jnp.where(im > 0, q_inter, q_intra)
+    q = jnp.minimum(q, 2047)
+    q = jnp.where(r < 0, -q, q)
+
+    # ---- dequantise (RTL:2128-2150) ----------------------------------------
+    x2 = q * 2
+    xi = (x2 + jnp.sign(x2)) << q_level
+    xi = jnp.clip(xi, -2047, 2047)
+    xa = q * iq
+    if q_level >= 3:
+        xa = xa << (q_level - 3)
+    else:
+        xa = xa >> (3 - q_level)
+    xa = jnp.clip(xa, -2047, 2047)
+    xa = jnp.where(is_dc, q * 2, xa)
+    f = jnp.where(im > 0, xi, xa)                             # |f| <= 2047
+
+    # ---- Chen-Wang IDCT rows (RTL:843-905) ---------------------------------
+    xj = _group_bcast_inputs(f, axis=1)
+    yrow = _cw_stage(xj, rounding=False)
+    yrow = [((v & 0x3FFFF) ^ 0x20000) - 0x20000 for v in yrow]  # 18-bit trunc
+    y = _positional_select(yrow, 1, shape)
+
+    # ---- IDCT columns (RTL:911-970) + reconstruction -----------------------
+    xv = _group_bcast_inputs(y, axis=0)
+    cols = _cw_stage(xv, rounding=True)
+    res = _positional_select([jnp.clip(c, -255, 255) for c in cols], 0, shape)
+    recon = jnp.clip(pred + res, 0, 255)
+    return q, recon
+
+
+def _kernel(q_level: int, cy_ref, py_ref, iy_ref, cc_ref, pc_ref, ic_ref,
+            qy_ref, ry_ref, qc_ref, rc_ref):
+    qy, ry = _transform_block(cy_ref[...], py_ref[...], iy_ref[...], q_level)
+    qy_ref[...] = qy
+    ry_ref[...] = ry
+    qc, rc = _transform_block(cc_ref[...], pc_ref[...], ic_ref[...], q_level)
+    qc_ref[...] = qc
+    rc_ref[...] = rc
+
+
+@functools.partial(jax.jit, static_argnames=("q_level",))
+def transform_recon_pallas(
+    cur_y: jnp.ndarray,      # (H, W) int32/uint8 4:2:0 luma
+    cur_u: jnp.ndarray,      # (H/2, W/2)
+    cur_v: jnp.ndarray,
+    pred_y: jnp.ndarray,     # (H, W) int32 prediction planes
+    pred_u: jnp.ndarray,     # (H/2, W/2)
+    pred_v: jnp.ndarray,
+    inter: jnp.ndarray,      # (nby, nbx) bool
+    q_level: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused transform + reconstruction.  Returns (quant_zig (nby, nbx, 6,
+    64) int32 in zig-zag order, recon_y (H, W) uint8, recon_u, recon_v).
+    Bit-exact vs the ops/dct.py coefficient-major path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = cur_y.shape
+    nby, nbx = h // 16, w // 16
+    gs = min(_gs_for(w), nby)
+    nbyp = -(-nby // gs) * gs
+    wp = -(-w // 128) * 128
+    wc = w // 2
+    wcp = -(-(2 * wc) // 128) * 128
+
+    def prep(x, hh, ww, wwp):
+        x = x.astype(jnp.int32)
+        return jnp.pad(x, ((0, hh - x.shape[0]), (0, wwp - ww)))
+
+    cy = prep(cur_y, nbyp * 16, w, wp)
+    py = prep(pred_y, nbyp * 16, w, wp)
+    cc = prep(jnp.concatenate([cur_u.astype(jnp.int32),
+                               cur_v.astype(jnp.int32)], axis=1),
+              nbyp * 8, 2 * wc, wcp)
+    pc = prep(jnp.concatenate([pred_u.astype(jnp.int32),
+                               pred_v.astype(jnp.int32)], axis=1),
+              nbyp * 8, 2 * wc, wcp)
+    ii = inter.astype(jnp.int32)
+    iy = prep(jnp.repeat(jnp.repeat(ii, 16, axis=0), 16, axis=1),
+              nbyp * 16, w, wp)
+    ic = prep(jnp.concatenate(
+        [jnp.repeat(jnp.repeat(ii, 8, axis=0), 8, axis=1)] * 2, axis=1),
+        nbyp * 8, 2 * wc, wcp)
+
+    qy, ry, qc, rc = pl.pallas_call(
+        functools.partial(_kernel, q_level),
+        grid=(nbyp // gs,),
+        in_specs=[
+            pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbyp * 16, wp), jnp.int32),
+            jax.ShapeDtypeStruct((nbyp * 16, wp), jnp.int32),
+            jax.ShapeDtypeStruct((nbyp * 8, wcp), jnp.int32),
+            jax.ShapeDtypeStruct((nbyp * 8, wcp), jnp.int32),
+        ],
+        interpret=_INTERPRET,
+    )(cy, py, iy, cc, pc, ic)
+
+    recon_y = ry[:h, :w].astype(jnp.uint8)
+    recon_u = rc[:h // 2, :wc].astype(jnp.uint8)
+    recon_v = rc[:h // 2, wc:2 * wc].astype(jnp.uint8)
+
+    # ---- zig-zag tile-major relayout of q (the only marshalling left) ------
+    zz = np.asarray(T.ZIGZAG, np.int64)                       # (8,8) -> order
+    zig_src = np.zeros(64, np.int64)                          # z -> v*8+u
+    for v in range(8):
+        for u in range(8):
+            zig_src[int(zz[v, u])] = v * 8 + u
+    qyt = qy[:h, :w].reshape(nby, 2, 8, nbx, 2, 8) \
+        .transpose(0, 3, 1, 4, 2, 5).reshape(nby, nbx, 4, 64)
+    qut = qc[:h // 2, :wc].reshape(nby, 8, nbx, 8) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 64)
+    qvt = qc[:h // 2, wc:2 * wc].reshape(nby, 8, nbx, 8) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 64)
+    q6 = jnp.concatenate([qyt, qut, qvt], axis=2)
+    quant_zig = jnp.take(q6, jnp.asarray(zig_src), axis=3)
+    return quant_zig, recon_y, recon_u, recon_v
+
+
+def supported() -> bool:
+    return jax.default_backend() == "tpu"

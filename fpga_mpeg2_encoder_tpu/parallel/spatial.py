@@ -99,8 +99,8 @@ def make_sharded_frame_encoder(
             q_zig.T.reshape(rows_l, nbx, 6, 64), mr.inter, mr.mvx, mr.mvy,
             i_frame, frame_no, q_level,
             first_row=first_row, include_headers=False)
-        words, bits, ovf = bitpack.pack_symbols(
-            sym.codes, sym.lens, row_cap, budget_bps=budget_bps)
+        words, bits, ovf = bitpack.pack_slots(
+            sym.slots, row_cap, budget_bps=budget_bps)
         return ry, ru, rv, words, bits, ovf.reshape(1)
 
     sharded = jax.shard_map(
@@ -118,7 +118,7 @@ def make_sharded_frame_encoder(
             y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
         # GOP/picture header rows: tiny, packed outside the sharded region
         hc, hl = entropy._header_rows(i_frame, frame_no, 16)
-        hw, hb, hovf = bitpack.pack_symbols(hc, hl, row_cap)
+        hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
         all_w = jnp.concatenate([hw, rows_w], axis=0)
         all_b = jnp.concatenate([hb, rows_b], axis=0)
         fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)

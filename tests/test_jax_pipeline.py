@@ -140,13 +140,24 @@ class TestChunkedScan:
         assert a == b
 
     def test_overflow_retry_path(self, video_factory):
-        # tiny caps force the overflow retry with worst-case buffers
+        # tiny caps force the overflow retry (symbols-only device step +
+        # host-side stitch, models/encoder._encode_frame_hoststitch)
         cfg = EncoderConfig(xl=4, yl=4, q_level=1)
         frames = video_factory(64, 64, 3, kind="noise")
         enc = Encoder(cfg, row_cap=8, frame_cap=16)
         got = enc.encode(frames, 64, 64, pframes_count=1)
         seq = SequenceConfig(64, 64, 1)
         assert got == G.encode_sequence(cfg, seq, frames)
+
+    def test_overflow_retry_path_chunked(self, video_factory):
+        # the chunked scan's overflow retry re-encodes the chunk frame by
+        # frame through the same host-stitch path, byte-identically
+        cfg = EncoderConfig(xl=4, yl=4, q_level=1)
+        frames = video_factory(64, 64, 4, kind="noise")
+        enc = Encoder(cfg, row_cap=8, frame_cap=16)
+        got = enc.encode(frames, 64, 64, pframes_count=1, chunk_frames=4)
+        want = Encoder(cfg).encode(frames, 64, 64, pframes_count=1)
+        assert got == want
 
 
 def test_reciprocal_division_exhaustive():

@@ -1,0 +1,267 @@
+"""CPU coverage for the Pallas kernel BODIES via the Pallas interpreter.
+
+The three production kernels (ops/pallas/me.py, acsym.py, pack.py) are
+TPU-only at runtime ('auto' selects them only on a TPU backend), so the CPU
+suite would otherwise never execute their bodies (ADVICE round 2, medium).
+Running them under ``pl.pallas_call(..., interpret=True)`` executes the same
+kernel logic (rolls, barrel selects, one-hot matmuls, the merge tree) on CPU
+and pins it bit-for-bit against the XLA formulations.
+
+This does NOT replace the on-chip suite (tests/test_tpu_exactness.py): the
+interpreter cannot catch Mosaic lowering or TPU matmul-precision semantics.
+It catches kernel-logic regressions in every CPU CI run.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpga_mpeg2_encoder_tpu.models import encoder as M
+from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
+from fpga_mpeg2_encoder_tpu.ops.pallas import acsym as k_acsym
+from fpga_mpeg2_encoder_tpu.ops.pallas import me as k_me
+from fpga_mpeg2_encoder_tpu.ops.pallas import pack as k_pack
+from fpga_mpeg2_encoder_tpu.ops.pallas import transform as k_tf
+
+
+@pytest.fixture
+def interpret_kernels():
+    saved = (k_me._INTERPRET, k_acsym._INTERPRET, k_pack._INTERPRET,
+             k_tf._INTERPRET, motion._ME_IMPL, entropy._ACSYM_IMPL,
+             bitpack._PACK_IMPL, M._TRANSFORM_IMPL)
+    k_me._INTERPRET = k_acsym._INTERPRET = k_pack._INTERPRET = True
+    k_tf._INTERPRET = True
+    yield
+    (k_me._INTERPRET, k_acsym._INTERPRET, k_pack._INTERPRET,
+     k_tf._INTERPRET, motion._ME_IMPL, entropy._ACSYM_IMPL,
+     bitpack._PACK_IMPL, M._TRANSFORM_IMPL) = saved
+
+
+def _frames(w, h, n, seed):
+    rng = np.random.default_rng(seed)
+    pad = 32
+    yy, xx = np.mgrid[0:h + pad, 0:w + pad]
+    tex = rng.integers(0, 48, (h + pad, w + pad)).astype(np.int32)
+    y = (((xx * 3 + yy * 2) // 4) % 200 + tex).astype(np.uint8)
+    u = ((xx - yy) // 3 % 160 + 48).astype(np.uint8)
+    v = ((xx + yy) // 5 % 120 + 64).astype(np.uint8)
+    return [(y[2 * i:2 * i + h, 3 * i:3 * i + w].copy(),
+             u[2 * i:2 * i + h, 3 * i:3 * i + w].copy(),
+             v[2 * i:2 * i + h, 3 * i:3 * i + w].copy()) for i in range(n)]
+
+
+@pytest.mark.parametrize("vl", [1, 3])
+def test_interpreted_me_kernel_matches_xla(interpret_kernels, vl):
+    """Fused ME + chroma kernels (interpret) vs the XLA formulation, I and P
+    frames, at the default and the smallest search range."""
+    yr, ur = 2 * vl, vl
+    w, h = 96, 64
+    (y0, u0, v0), (y1, u1, v1) = _frames(w, h, 2, 31 + vl)
+    prev = (jnp.asarray(y0), jnp.asarray(u0), jnp.asarray(v0))
+    # chroma planes at half res for prediction inputs
+    pu = jnp.asarray(u0[::2, ::2])
+    pv = jnp.asarray(v0[::2, ::2])
+
+    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+        jnp.asarray(y1), prev[0], jnp.asarray(False), yr)
+    pred_u, pred_v = k_me.chroma_pred_pallas(pu, pv, inter, mvx, mvy, ur)
+
+    want = motion.estimate_and_predict_local(
+        jnp.asarray(y1), jnp.pad(prev[0], ((8, 8), (0, 0))),
+        jnp.pad(pu, ((4, 4), (0, 0))), jnp.pad(pv, ((4, 4), (0, 0))),
+        jnp.asarray(False), yr, ur, jnp.int32(0), jnp.int32(h // 16))
+
+    assert (np.asarray(inter) == np.asarray(want.inter)).all()
+    assert (np.asarray(mvx) == np.asarray(want.mvx)).all()
+    assert (np.asarray(mvy) == np.asarray(want.mvy)).all()
+    assert (np.asarray(pred_y) == np.asarray(want.pred_y)).all()
+    assert (np.asarray(pred_u) == np.asarray(want.pred_u)).all()
+    assert (np.asarray(pred_v) == np.asarray(want.pred_v)).all()
+
+
+def test_interpreted_me_kernel_banded_halo_matches_xla(interpret_kernels):
+    """The sharded band form (halo=True + global row offsets) of the fused ME
+    and chroma kernels vs the XLA band formulation: a middle band must treat
+    its shard seams as non-edges (VERDICT round-2: one formulation for the
+    single-chip and sharded paths)."""
+    yr, ur = 6, 3
+    w, h = 96, 128                       # full frame: 8 MB rows
+    (y0, u0, v0), (y1, u1, v1) = _frames(w, h, 2, 41)
+    prev_y = jnp.asarray(y0)
+    pu = jnp.asarray(u0[::2, ::2])
+    pv = jnp.asarray(v0[::2, ::2])
+    nby = h // 16
+
+    # band = MB rows 2..5 (4 rows), with real 8/4-row halos from the frame
+    r0, r1 = 2, 6
+    cur_b = jnp.asarray(y1[16 * r0:16 * r1])
+    py_h = prev_y[16 * r0 - 8:16 * r1 + 8]
+    pu_h = pu[8 * r0 - 4:8 * r1 + 4]
+    pv_h = pv[8 * r0 - 4:8 * r1 + 4]
+
+    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+        cur_b, py_h, jnp.asarray(False), yr,
+        first_mb_row=jnp.int32(r0), total_mb_rows=jnp.int32(nby), halo=True)
+    pred_u, pred_v = k_me.chroma_pred_pallas(pu_h, pv_h, inter, mvx, mvy,
+                                             ur, halo=True)
+
+    want = motion._estimate_and_predict_local_xla(
+        cur_b, py_h, pu_h, pv_h, jnp.asarray(False), yr, ur,
+        jnp.int32(r0), jnp.int32(nby))
+    assert (np.asarray(inter) == np.asarray(want.inter)).all()
+    assert (np.asarray(mvx) == np.asarray(want.mvx)).all()
+    assert (np.asarray(mvy) == np.asarray(want.mvy)).all()
+    assert (np.asarray(pred_y) == np.asarray(want.pred_y)).all()
+    assert (np.asarray(pred_u) == np.asarray(want.pred_u)).all()
+    assert (np.asarray(pred_v) == np.asarray(want.pred_v)).all()
+
+
+def test_interpreted_acsym_slot_grid_matches_xla(interpret_kernels):
+    """Slot-grid emission kernel (interpret) vs the XLA one-hot/cummax +
+    concat assembly, on realistic quantised-coefficient statistics (many
+    zeros, short runs, escapes).  Zero-length slots may differ in their dead
+    code bits (the kernel writes 0, the XLA path leaves the dummy code), so
+    the comparison masks by emitted length."""
+    rng = np.random.default_rng(7)
+    nby, nbx = 5, 4
+    zig = np.zeros((nby, nbx, 6, 64), np.int32)
+    mask = rng.random(zig.shape) < 0.15
+    zig[mask] = rng.integers(-60, 61, mask.sum())
+    zig[0, 0, 0, 5] = 2047          # escape-coded level
+    zig[1, 2, 3, 63] = -2047
+    inter = rng.random((nby, nbx)) < 0.6
+    mvx = rng.integers(-12, 13, (nby, nbx)).astype(np.int32)
+    mvy = rng.integers(-12, 13, (nby, nbx)).astype(np.int32)
+
+    def run():
+        fs = entropy.symbolize_frame(
+            jnp.asarray(zig), jnp.asarray(inter), jnp.asarray(mvx),
+            jnp.asarray(mvy), jnp.int32(1), jnp.int32(4), 2)
+        slots = np.asarray(fs.slots)
+        return np.where((slots >> 27) > 0, slots, 0)
+
+    entropy._ACSYM_IMPL = "pallas"
+    got = run()
+    entropy._ACSYM_IMPL = "xla"
+    want = run()
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_interpreted_transform_kernel_matches_xla(interpret_kernels):
+    """Fused strip-layout transform kernel (interpret) vs the coefficient-
+    major ops/dct.py path: quantised zig coefficients and all three recon
+    planes must match exactly, I and P cases."""
+    from fpga_mpeg2_encoder_tpu.ops import colorspace, dct
+    from fpga_mpeg2_encoder_tpu.ops.pallas.transform import \
+        transform_recon_pallas
+
+    w, h = 96, 64
+    (y0, u0, v0), (y1, u1, v1) = _frames(w, h, 2, 13)
+    ys, us, vs = colorspace.subsample_420(
+        jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1))
+    nby, nbx = h // 16, w // 16
+    rng = np.random.default_rng(3)
+    inter = jnp.asarray(rng.random((nby, nbx)) < 0.5)
+    # prediction planes: previous frame's subsampled planes (realistic values)
+    py, pu, pv = colorspace.subsample_420(
+        jnp.asarray(y0), jnp.asarray(u0), jnp.asarray(v0))
+    pyp = py.astype(jnp.int32)
+    pup = pu.astype(jnp.int32)
+    pvp = pv.astype(jnp.int32)
+
+    qzig, ry, ru, rv = transform_recon_pallas(
+        ys, us, vs, pyp, pup, pvp, inter, 2)
+
+    # XLA reference (models/encoder.py else-branch)
+    yb = M._blockify(ys.astype(jnp.int32), 16)
+    ub = M._blockify(us.astype(jnp.int32), 8)
+    vb = M._blockify(vs.astype(jnp.int32), 8)
+    cur_t = M._tiles(yb, ub, vb)
+    pred_t = M._tiles(
+        pyp.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3),
+        pup.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3),
+        pvp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3))
+    resid = (cur_t - pred_t).reshape(-1, 64).T
+    inter_t = jnp.repeat(inter.reshape(-1), 6)
+    q = dct.quantize(dct.fdct(resid), inter_t, 2)
+    rres = dct.idct(dct.dequantize(q, inter_t, 2))
+    recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+        .T.reshape(nby, nbx, 6, 64)
+    want_ry = M._unblockify(M._untile_y(recon_t[:, :, :4]))
+    want_ru = M._unblockify(recon_t[:, :, 4].reshape(nby, nbx, 8, 8))
+    want_rv = M._unblockify(recon_t[:, :, 5].reshape(nby, nbx, 8, 8))
+    want_qzig = q[entropy._ZIG_INV_NP, :].T.reshape(nby, nbx, 6, 64)
+
+    assert (np.asarray(qzig) == np.asarray(want_qzig)).all()
+    assert (np.asarray(ry) == np.asarray(want_ry)).all()
+    assert (np.asarray(ru) == np.asarray(want_ru)).all()
+    assert (np.asarray(rv) == np.asarray(want_rv)).all()
+
+
+def test_interpreted_pack_kernel_matches_xla(interpret_kernels):
+    """Pack kernel pair (interpret) vs the XLA merge tree: same words, same
+    byte-aligned row bits, on mixed-length symbol rows."""
+    rng = np.random.default_rng(9)
+    r, s = 5, 700
+    lens = rng.integers(0, 25, (r, s)).astype(np.int32)
+    lens[rng.random((r, s)) < 0.5] = 0
+    codes = np.zeros((r, s), np.uint32)
+    nz = lens > 0
+    codes[nz] = rng.integers(0, 1 << 24, nz.sum()).astype(np.uint32) \
+        & ((1 << lens[nz].astype(np.uint64)) - 1).astype(np.uint32)
+    cap = 640        # worst case 700 * 24 bits = 525 words
+
+    gw, gb, govf = k_pack.pack_symbols_pallas(
+        jnp.asarray(codes), jnp.asarray(lens), cap)
+    ww, wb, wovf = bitpack.pack_symbols(
+        jnp.asarray(codes), jnp.asarray(lens), cap, budget_bps=0)
+
+    assert not bool(govf) and not bool(wovf)
+    assert (np.asarray(gb) == np.asarray(wb)).all()
+    for k in range(r):
+        nwords = (int(np.asarray(gb)[k]) + 31) // 32
+        assert (np.asarray(gw)[k, :nwords] == np.asarray(ww)[k, :nwords]).all(), k
+
+
+def test_interpreted_full_frame_stream_matches_xla(interpret_kernels):
+    """End-to-end: encode_frame_core with ALL THREE kernels forced on (via the
+    interpreter) must produce the byte-identical payload to the XLA path -
+    the exact integration seam the TPU production path uses."""
+    import functools
+
+    from fpga_mpeg2_encoder_tpu.models import encoder as M
+
+    w, h = 96, 64
+    frames = _frames(w, h, 2, 21)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384)
+
+    def run():
+        f = jax.jit(functools.partial(M.encode_frame_core, **kw))
+        prev = (jnp.zeros((h, w), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8))
+        outs = []
+        for fi, (y, u, v) in enumerate(frames):
+            ry, ru, rv, fw, fb, ovf = f(jnp.asarray(y), jnp.asarray(u),
+                                        jnp.asarray(v), *prev,
+                                        jnp.int32(fi), jnp.int32(fi))
+            assert not bool(ovf)
+            outs.append((np.asarray(fw)[: (int(fb) + 31) // 32], int(fb)))
+            prev = (ry, ru, rv)
+        return outs
+
+    motion._ME_IMPL = "fused"
+    entropy._ACSYM_IMPL = "pallas"
+    bitpack._PACK_IMPL = "pallas"
+    M._TRANSFORM_IMPL = "pallas"
+    got = run()
+    motion._ME_IMPL = "xla"
+    entropy._ACSYM_IMPL = "xla"
+    bitpack._PACK_IMPL = "xla"
+    M._TRANSFORM_IMPL = "xla"
+    want = run()
+    for fi, ((pw, pb), (xw, xb)) in enumerate(zip(got, want)):
+        assert pb == xb, f"frame {fi}: bit counts differ"
+        assert (pw == xw).all(), f"frame {fi}: payload differs"

@@ -123,15 +123,15 @@ def test_tpu_max_geometry_2048():
 
     pallas_out = run()
 
-    saved = (motion._ME_IMPL, motion._SAD_IMPL, bitpack._PACK_IMPL,
-             entropy._ACSYM_IMPL)
-    motion._ME_IMPL = motion._SAD_IMPL = "xla"
-    bitpack._PACK_IMPL = entropy._ACSYM_IMPL = "xla"
+    saved = (motion._ME_IMPL, bitpack._PACK_IMPL, entropy._ACSYM_IMPL,
+             M._TRANSFORM_IMPL)
+    motion._ME_IMPL = "xla"
+    bitpack._PACK_IMPL = entropy._ACSYM_IMPL = M._TRANSFORM_IMPL = "xla"
     try:
         xla_out = run()
     finally:
-        (motion._ME_IMPL, motion._SAD_IMPL, bitpack._PACK_IMPL,
-         entropy._ACSYM_IMPL) = saved
+        (motion._ME_IMPL, bitpack._PACK_IMPL, entropy._ACSYM_IMPL,
+         M._TRANSFORM_IMPL) = saved
 
     for fi, ((pw, pb), (xw, xb)) in enumerate(zip(pallas_out, xla_out)):
         assert pb == xb, f"frame {fi}: bit counts differ"
@@ -178,22 +178,49 @@ def test_tpu_batched_equals_single_stream():
 
 
 @tpu_only
-def test_pallas_sad_volume_matches_xla():
+@pytest.mark.parametrize("vl", [1, 2])
+def test_tpu_vector_level_1_2_pallas_vs_xla(vl):
+    """The Pallas ME/chroma kernels' barrel-stage and roll logic is
+    parameterised by yr/ur (VECTOR_LEVEL in {1,2,3}, RTL:12,71-72); vl=3 is
+    covered by every other on-chip test, so prove vl in {1,2} here: whole
+    frames through the production path must match the XLA formulation bit for
+    bit (VERDICT round-2 weak item 6)."""
+    import functools
+
     import jax.numpy as jnp
-    from fpga_mpeg2_encoder_tpu.ops.pallas.sad import sad_volume_pallas
 
-    h, w, yr = 64, 128, 6
-    rng = np.random.default_rng(3)
-    cur = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
-    prev = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
-    got = np.asarray(sad_volume_pallas(cur, prev, yr))
+    from fpga_mpeg2_encoder_tpu.models import encoder as M
+    from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
 
-    c = cur.astype(jnp.int32)
-    p = jnp.pad(prev, yr).astype(jnp.int32)
-    want = []
-    for dy in range(-yr, yr + 1):
-        for dx in range(-yr, yr + 1):
-            win = jax.lax.dynamic_slice(p, (yr + dy, yr + dx), (h, w))
-            want.append(np.asarray(
-                jnp.abs(c - win).reshape(h // 16, 16, w // 16, 16).sum(axis=(1, 3))))
-    assert (np.stack(want) == got).all()
+    w, h = 352, 288
+    frames = _structured_content(w, h, 3, 50 + vl)
+    kw = dict(yr=2 * vl, ur=vl, q_level=2, row_cap=2048, frame_cap=65536)
+
+    def run():
+        f = jax.jit(functools.partial(M.encode_frame_core, **kw))
+        prev = (jnp.zeros((h, w), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8),
+                jnp.zeros((h // 2, w // 2), jnp.uint8))
+        outs = []
+        for fi, (y, u, v) in enumerate(frames):
+            ry, ru, rv, fw, fb, ovf = f(jnp.asarray(y), jnp.asarray(u),
+                                        jnp.asarray(v), *prev,
+                                        jnp.int32(min(fi, 1)), jnp.int32(fi))
+            assert not bool(ovf)
+            outs.append((np.asarray(fw)[: (int(fb) + 31) // 32], int(fb)))
+            prev = (ry, ru, rv)
+        return outs
+
+    pallas_out = run()
+    saved = (motion._ME_IMPL, bitpack._PACK_IMPL, entropy._ACSYM_IMPL,
+             M._TRANSFORM_IMPL)
+    motion._ME_IMPL = "xla"
+    bitpack._PACK_IMPL = entropy._ACSYM_IMPL = M._TRANSFORM_IMPL = "xla"
+    try:
+        xla_out = run()
+    finally:
+        (motion._ME_IMPL, bitpack._PACK_IMPL, entropy._ACSYM_IMPL,
+         M._TRANSFORM_IMPL) = saved
+    for fi, ((pw, pb), (xw, xb)) in enumerate(zip(pallas_out, xla_out)):
+        assert pb == xb, f"frame {fi}: bit counts differ"
+        assert (pw == xw).all(), f"frame {fi}: payload differs"

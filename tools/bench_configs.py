@@ -66,11 +66,13 @@ def main():
         results.append({"metric": label, "value": round(mpix, 1),
                         "unit": "MPixels/s", "vs_baseline": round(mpix / 268, 3)})
 
-    # configs 2-3: the reference testbench geometries (BASELINE configs)
-    run_single("encode_throughput_352x288_ippp", 352, 288, 96, 23,
-               1024, 32768, 1048576)
-    run_single("encode_throughput_720x576_ippp", 720, 576, 48, 23,
-               2048, 65536, 2097152)
+    # configs 2-3: the reference testbench geometries (BASELINE configs).
+    # Small frames amortise the per-dispatch/readback floor with DEEP scan
+    # chunks (384 CIF frames are still only ~150 MB of staged planes).
+    run_single("encode_throughput_352x288_ippp", 352, 288, 384, 23,
+               1024, 32768, 4194304)
+    run_single("encode_throughput_720x576_ippp", 720, 576, 192, 23,
+               2048, 65536, 8388608)
     # config 4: 1920x1152, pframes_count=255 (one I, then all P)
     run_single("encode_throughput_1920x1152_p255", 1920, 1152, 48, 255,
                4096, 262144, 4194304)

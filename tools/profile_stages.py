@@ -58,8 +58,8 @@ def make_scan(stage):
                                      .reshape(NBY, NBX, 6, 64), mr.inter,
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
-            return ry, ru, rv, fs.codes.astype(jnp.int32).sum() + fs.lens.sum()
-        rw, rb, _ = bitpack.pack_symbols(fs.codes, fs.lens, 4096, budget_bps=8)
+            return ry, ru, rv, fs.slots.astype(jnp.int32).sum()
+        rw, rb, _ = bitpack.pack_slots(fs.slots, 4096, budget_bps=8)
         if stage == "pack":
             return ry, ru, rv, rw.astype(jnp.int32).sum() + rb.sum()
         fwd, fb = bitpack.merge_rows(rw, rb, 262144)
