@@ -203,6 +203,7 @@ def estimate_and_predict_local(
     ur: int,
     first_mb_row: jnp.ndarray,   # traced: global MB row of local row 0
     total_mb_rows: jnp.ndarray,  # traced: global MB row count
+    as_planes: bool = False,     # pred as pixel planes (transform-kernel form)
 ) -> MotionResult:
     """Band-local motion estimation for slice-row sharding (SURVEY section 2.9
     SP/CP axis): identical math to the whole-frame path, with the reference
@@ -219,13 +220,23 @@ def estimate_and_predict_local(
         from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
         inter, mvx, mvy, pred_y = motion_estimate_pallas(
             cur_y, prev_y_h, is_iframe, yr,
-            first_mb_row=first_mb_row, total_mb_rows=total_mb_rows, halo=True)
+            first_mb_row=first_mb_row, total_mb_rows=total_mb_rows,
+            halo=True, as_plane=as_planes)
         pred_u, pred_v = chroma_pred_pallas(prev_u_h, prev_v_h, inter,
-                                            mvx, mvy, ur, halo=True)
+                                            mvx, mvy, ur, halo=True,
+                                            as_plane=as_planes)
         return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
-    return _estimate_and_predict_local_xla(
+    mr = _estimate_and_predict_local_xla(
         cur_y, prev_y_h, prev_u_h, prev_v_h, is_iframe, yr, ur,
         first_mb_row, total_mb_rows)
+    if not as_planes:
+        return mr
+
+    def unblk(t):
+        nb_y, nb_x, bs, _ = t.shape
+        return t.transpose(0, 2, 1, 3).reshape(nb_y * bs, nb_x * bs)
+    return MotionResult(mr.inter, mr.mvx, mr.mvy, unblk(mr.pred_y),
+                        unblk(mr.pred_u), unblk(mr.pred_v))
 
 
 def _estimate_and_predict_local_xla(

@@ -65,6 +65,8 @@ def make_sharded_frame_encoder(
         raise ValueError(f"{nby} macroblock rows do not divide {nsh} shards")
     rows_l = nby // nsh
 
+    from ..models.encoder import _TRANSFORM_IMPL
+
     def local_step(y, u, v, py, pu, pv, i_frame, frame_no):
         # y/u/v/py: (H/nsh, W); pu/pv: (H/2/nsh, W/2)
         sh = jax.lax.axis_index(axis)
@@ -73,30 +75,40 @@ def make_sharded_frame_encoder(
         py_h = exchange_halo(py, 8, axis)
         pu_h = exchange_halo(pu, 4, axis)
         pv_h = exchange_halo(pv, 4, axis)
+        tf_pallas = _TRANSFORM_IMPL == "pallas" or (
+            _TRANSFORM_IMPL == "auto" and jax.default_backend() == "tpu")
         mr = motion.estimate_and_predict_local(
             ys, py_h, pu_h, pv_h, i_frame == 0, yr, ur,
-            first_row, jnp.int32(nby))
+            first_row, jnp.int32(nby), as_planes=tf_pallas)
 
-        yb = _blockify(ys.astype(jnp.int32), 16)
-        ub = _blockify(us.astype(jnp.int32), 8)
-        vb = _blockify(vs.astype(jnp.int32), 8)
-        cur_t = _tiles(yb, ub, vb)
-        pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
-        resid = (cur_t - pred_t).reshape(-1, 64).T
-        inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
-        q = dct.quantize(dct.fdct(resid), inter_t, q_level)
-        rres = dct.idct(dct.dequantize(q, inter_t, q_level))
-        recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
-            .T.reshape(rows_l, nbx, 6, 64)
-        ry = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
-        ru = _unblockify(recon_t[:, :, 4].reshape(rows_l, nbx, 8, 8)) \
-            .astype(jnp.uint8)
-        rv = _unblockify(recon_t[:, :, 5].reshape(rows_l, nbx, 8, 8)) \
-            .astype(jnp.uint8)
+        if tf_pallas:
+            # the transform kernel is band-local (no cross-MB dependencies),
+            # so the sharded path runs the same production kernel
+            from ..ops.pallas.transform import transform_recon_pallas
+            quant_zig, ry, ru, rv = transform_recon_pallas(
+                ys, us, vs, mr.pred_y, mr.pred_u, mr.pred_v, mr.inter,
+                q_level)
+        else:
+            yb = _blockify(ys.astype(jnp.int32), 16)
+            ub = _blockify(us.astype(jnp.int32), 8)
+            vb = _blockify(vs.astype(jnp.int32), 8)
+            cur_t = _tiles(yb, ub, vb)
+            pred_t = _tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+            resid = (cur_t - pred_t).reshape(-1, 64).T
+            inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+            q = dct.quantize(dct.fdct(resid), inter_t, q_level)
+            rres = dct.idct(dct.dequantize(q, inter_t, q_level))
+            recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
+                .T.reshape(rows_l, nbx, 6, 64)
+            ry = _unblockify(_untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+            ru = _unblockify(recon_t[:, :, 4].reshape(rows_l, nbx, 8, 8)) \
+                .astype(jnp.uint8)
+            rv = _unblockify(recon_t[:, :, 5].reshape(rows_l, nbx, 8, 8)) \
+                .astype(jnp.uint8)
+            quant_zig = q[entropy._ZIG_INV_NP, :].T.reshape(rows_l, nbx, 6, 64)
 
-        q_zig = q[entropy._ZIG_INV_NP, :]
         sym = entropy.symbolize_frame(
-            q_zig.T.reshape(rows_l, nbx, 6, 64), mr.inter, mr.mvx, mr.mvy,
+            quant_zig, mr.inter, mr.mvx, mr.mvy,
             i_frame, frame_no, q_level,
             first_row=first_row, include_headers=False)
         words, bits, ovf = bitpack.pack_slots(
@@ -109,6 +121,9 @@ def make_sharded_frame_encoder(
                   P(axis, None), P(axis, None), P(axis, None), P(), P()),
         out_specs=(P(axis, None), P(axis, None), P(axis, None),
                    P(axis, None), P(axis), P(axis)),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # byte-equality tests prove the sharding is correct
+        check_vma=False,
     )
 
     @jax.jit

