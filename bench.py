@@ -145,32 +145,46 @@ def main():
     fys = [jnp.roll(fy, r, axis=0) for r in range(4)]
     jax.block_until_ready(fys)
     fallback = None
-    try:
-        out = run(fys[0])            # warm-up / compile
-        int(out[4])
-    except Exception as e:           # Mosaic/runtime failure of a Pallas path:
+
+    def force_xla(reason):
         # fall back to the XLA formulations (bit-identical, slower) so the
         # bench reports an honest reduced number instead of rc=1
+        nonlocal fallback
+        from fpga_mpeg2_encoder_tpu.models import encoder as M
         from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
         motion._ME_IMPL = "xla"
         entropy._ACSYM_IMPL = "xla"
         bitpack._PACK_IMPL = "xla"
+        M._TRANSFORM_IMPL = "xla"
         encode_gop_scan.clear_cache()
-        fallback = type(e).__name__ + ": " + str(e)[:200]
-        print(f"WARNING: production kernels failed ({fallback}); "
+        fallback = reason
+        print(f"WARNING: production kernels rejected ({reason}); "
               "re-running on the XLA paths", file=sys.stderr)
+
+    def warmup_and_digest():
+        # self-validation: the warm-up payload must match the cached golden
+        # digest (all implementations are bit-exact, so this pins content,
+        # not just structure, on every run - VERDICT round-2 weak item 7)
         out = run(fys[0])
         int(out[4])
-    # self-validation: the warm-up payload must match the cached golden digest
-    # (all implementations are bit-exact, so this pins content, not just
-    # structure, on every bench run - VERDICT round-2 weak item 7)
-    wsw, wsb = np.asarray(out[3]), int(out[4])
-    digest = hashlib.sha256(words_to_bytes(wsw, wsb)).hexdigest()
-    if "--digest" in sys.argv:
-        print(f"payload sha256: {digest}", file=sys.stderr)
-    assert not bool(out[7]), "payload budget overflow on warm-up content"
-    assert digest == PAYLOAD_SHA256, \
-        f"bench payload digest mismatch: {digest} != {PAYLOAD_SHA256}"
+        wsw, wsb = np.asarray(out[3]), int(out[4])
+        digest = hashlib.sha256(words_to_bytes(wsw, wsb)).hexdigest()
+        if "--digest" in sys.argv:
+            print(f"payload sha256: {digest}", file=sys.stderr)
+        assert not bool(out[7]), "payload budget overflow on warm-up content"
+        return digest
+
+    try:
+        digest = warmup_and_digest()
+        if digest != PAYLOAD_SHA256:
+            raise AssertionError(f"payload digest mismatch: {digest}")
+    except Exception as e:           # Mosaic failure OR miscompiled content
+        if fallback is not None:
+            raise
+        force_xla(type(e).__name__ + ": " + str(e)[:200])
+        digest = warmup_and_digest()
+        assert digest == PAYLOAD_SHA256, \
+            f"bench payload digest mismatch even on XLA paths: {digest}"
 
     # peak throughput: best of 3 independent timed reps (run-to-run variance on
     # this shared tunnel rig is ~+-4%; each rep is still a full honest 96-frame

@@ -149,10 +149,12 @@ def test_interpreted_acsym_slot_grid_matches_xla(interpret_kernels):
     assert (got == want).all()
 
 
-def test_interpreted_transform_kernel_matches_xla(interpret_kernels):
+@pytest.mark.parametrize("q_level", [2, 4])
+def test_interpreted_transform_kernel_matches_xla(interpret_kernels, q_level):
     """Fused strip-layout transform kernel (interpret) vs the coefficient-
     major ops/dct.py path: quantised zig coefficients and all three recon
-    planes must match exactly, I and P cases."""
+    planes must match exactly, I and P cases, both dequantiser shift
+    branches (q_level < 3 and >= 3)."""
     from fpga_mpeg2_encoder_tpu.ops import colorspace, dct
     from fpga_mpeg2_encoder_tpu.ops.pallas.transform import \
         transform_recon_pallas
@@ -172,7 +174,7 @@ def test_interpreted_transform_kernel_matches_xla(interpret_kernels):
     pvp = pv.astype(jnp.int32)
 
     qzig, ry, ru, rv = transform_recon_pallas(
-        ys, us, vs, pyp, pup, pvp, inter, 2)
+        ys, us, vs, pyp, pup, pvp, inter, q_level)
 
     # XLA reference (models/encoder.py else-branch)
     yb = M._blockify(ys.astype(jnp.int32), 16)
@@ -185,8 +187,8 @@ def test_interpreted_transform_kernel_matches_xla(interpret_kernels):
         pvp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3))
     resid = (cur_t - pred_t).reshape(-1, 64).T
     inter_t = jnp.repeat(inter.reshape(-1), 6)
-    q = dct.quantize(dct.fdct(resid), inter_t, 2)
-    rres = dct.idct(dct.dequantize(q, inter_t, 2))
+    q = dct.quantize(dct.fdct(resid), inter_t, q_level)
+    rres = dct.idct(dct.dequantize(q, inter_t, q_level))
     recon_t = jnp.clip(pred_t.reshape(-1, 64).T + rres, 0, 255) \
         .T.reshape(nby, nbx, 6, 64)
     want_ry = M._unblockify(M._untile_y(recon_t[:, :, :4]))
