@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot on-chip revalidation after kernel changes (or a tunnel outage):
+# exactness suite -> per-stage profile -> headline bench -> config benches.
+# Logs land in /tmp/tpu_reval/. Run: bash tools/tpu_revalidate.sh
+set -u
+cd /root/repo
+mkdir -p /tmp/tpu_reval
+
+echo "== backend probe =="
+timeout 180 python -c "import jax; print(jax.devices())" || {
+  echo "TPU backend unreachable; aborting"; exit 1; }
+
+echo "== on-chip exactness (8 tests) =="
+TPU_EXACTNESS=1 timeout 3000 python -m pytest tests/test_tpu_exactness.py -x -q \
+  2>&1 | tee /tmp/tpu_reval/exactness.log | tail -3
+
+echo "== per-stage profile (NF=48) =="
+PROF_NF=48 timeout 1200 python tools/profile_stages.py \
+  2>&1 | tee /tmp/tpu_reval/profile.log | tail -8
+
+echo "== headline bench =="
+timeout 1200 python bench.py 2>&1 | tee /tmp/tpu_reval/bench.log | tail -2
+
+echo "== config benches (writes BENCH_CONFIGS_r03.json) =="
+timeout 3000 python tools/bench_configs.py \
+  2>&1 | tee /tmp/tpu_reval/configs.log | tail -7
+
+echo "== done; logs in /tmp/tpu_reval =="
