@@ -146,20 +146,15 @@ def main():
     jax.block_until_ready(fys)
     fallback = None
 
-    def force_xla(reason):
-        # fall back to the XLA formulations (bit-identical, slower) so the
-        # bench reports an honest reduced number instead of rc=1
-        nonlocal fallback
-        from fpga_mpeg2_encoder_tpu.models import encoder as M
-        from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
-        motion._ME_IMPL = "xla"
-        entropy._ACSYM_IMPL = "xla"
-        bitpack._PACK_IMPL = "xla"
-        M._TRANSFORM_IMPL = "xla"
+    from fpga_mpeg2_encoder_tpu.models import encoder as M
+    from fpga_mpeg2_encoder_tpu.ops import bitpack, entropy, motion
+
+    def set_impls(transform, acsym, pack, me):
+        M._TRANSFORM_IMPL = transform
+        entropy._ACSYM_IMPL = acsym
+        bitpack._PACK_IMPL = pack
+        motion._ME_IMPL = me
         encode_gop_scan.clear_cache()
-        fallback = reason
-        print(f"WARNING: production kernels rejected ({reason}); "
-              "re-running on the XLA paths", file=sys.stderr)
 
     def warmup_and_digest():
         # self-validation: the warm-up payload must match the cached golden
@@ -172,19 +167,34 @@ def main():
         if "--digest" in sys.argv:
             print(f"payload sha256: {digest}", file=sys.stderr)
         assert not bool(out[7]), "payload budget overflow on warm-up content"
-        return digest
+        assert digest == PAYLOAD_SHA256, f"payload digest mismatch: {digest}"
 
-    try:
-        digest = warmup_and_digest()
-        if digest != PAYLOAD_SHA256:
-            raise AssertionError(f"payload digest mismatch: {digest}")
-    except Exception as e:           # Mosaic failure OR miscompiled content
-        if fallback is not None:
-            raise
-        force_xla(type(e).__name__ + ": " + str(e)[:200])
-        digest = warmup_and_digest()
-        assert digest == PAYLOAD_SHA256, \
-            f"bench payload digest mismatch even on XLA paths: {digest}"
+    # graceful degradation: if a Pallas kernel fails Mosaic or miscompiles
+    # (digest mismatch), retry with the newest kernels disabled first - an
+    # honest reduced number always beats rc=1.  Every combination is
+    # bit-identical; the digest check re-proves it per attempt.
+    combos = [
+        (None, "all production kernels"),
+        (("xla", "auto", "auto", "auto"), "transform kernel disabled"),
+        (("xla", "xla", "xla", "auto"), "entropy/pack kernels disabled"),
+        (("xla", "xla", "xla", "xla"), "all XLA formulations"),
+    ]
+    last_err = None
+    for impls, label in combos:
+        try:
+            if impls is not None:
+                set_impls(*impls)
+            warmup_and_digest()
+            if impls is not None:
+                fallback = f"{label} ({last_err})"
+                print(f"WARNING: fell back to {label}: {last_err}",
+                      file=sys.stderr)
+            break
+        except Exception as e:
+            last_err = type(e).__name__ + ": " + str(e)[:160]
+    else:
+        raise RuntimeError(f"bench failed on every kernel combination: "
+                           f"{last_err}")
 
     # peak throughput: best of 3 independent timed reps (run-to-run variance on
     # this shared tunnel rig is ~+-4%; each rep is still a full honest 96-frame

@@ -56,9 +56,15 @@ _INTERPRET = False
 
 
 def _gs_for(w: int) -> int:
-    """Luma MB-row strips per grid step: full 128 sublanes for common widths,
-    halved at the widest geometries to keep block + temporary VMEM bounded."""
-    return 8 if w <= 1152 else 4
+    """Luma MB-row strips per grid step.  The kernel keeps ~13 live
+    full-width int32 temporaries (butterfly inputs + fdct intermediates), so
+    the strip block shrinks as width grows to keep peak VMEM well under the
+    16 MB budget; VPU efficiency is unaffected (ops scale with area)."""
+    if w <= 640:
+        return 8
+    if w <= 1152:
+        return 4
+    return 2
 
 
 def _roll_mac(x, m: np.ndarray, axis: int):
