@@ -80,6 +80,30 @@ def test_interpreted_me_kernel_matches_xla(interpret_kernels, vl):
     assert (np.asarray(pred_v) == np.asarray(want.pred_v)).all()
 
 
+def test_interpreted_me_kernel_max_width_matches_xla(interpret_kernels):
+    """nbx=128 (2048-wide, the XL=7 maximum): G=1, every MB lane occupied -
+    the boundary of the segment-folding arithmetic."""
+    w, h, yr, ur = 2048, 32, 6, 3
+    rng = np.random.default_rng(5)
+    y1 = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    y0 = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    u0 = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+    v0 = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+        y1, y0, jnp.asarray(False), yr)
+    pu, pv = k_me.chroma_pred_pallas(u0, v0, inter, mvx, mvy, ur)
+    want = motion._estimate_and_predict_local_xla(
+        y1, jnp.pad(y0, ((8, 8), (0, 0))), jnp.pad(u0, ((4, 4), (0, 0))),
+        jnp.pad(v0, ((4, 4), (0, 0))), jnp.asarray(False), yr, ur,
+        jnp.int32(0), jnp.int32(h // 16))
+    assert (np.asarray(inter) == np.asarray(want.inter)).all()
+    assert (np.asarray(mvx) == np.asarray(want.mvx)).all()
+    assert (np.asarray(mvy) == np.asarray(want.mvy)).all()
+    assert (np.asarray(pred_y) == np.asarray(want.pred_y)).all()
+    assert (np.asarray(pu) == np.asarray(want.pred_u)).all()
+    assert (np.asarray(pv) == np.asarray(want.pred_v)).all()
+
+
 def test_interpreted_me_kernel_banded_halo_matches_xla(interpret_kernels):
     """The sharded band form (halo=True + global row offsets) of the fused ME
     and chroma kernels vs the XLA band formulation: a middle band must treat
