@@ -315,6 +315,41 @@ def test_interpreted_sharded_pipeline_runs_production_kernels(
         prev_s = out[:3]
 
 
+def test_interpreted_chunked_scan_matches_xla(interpret_kernels):
+    """The device-resident multi-frame scan (encode_gop_scan - the bench's
+    production path) with ALL kernels forced on under lax.scan, vs the XLA
+    formulations: sequence payload must be byte-identical."""
+    w, h, nf = 96, 64, 3
+    rng = np.random.default_rng(2)
+    fy = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    fu = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    fv = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    py = jnp.zeros((h, w), jnp.uint8)
+    pc = jnp.zeros((h // 2, w // 2), jnp.uint8)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384,
+              seq_cap=65536)
+
+    def run():
+        M.encode_gop_scan.clear_cache()
+        out = M.encode_gop_scan(fy, fu, fv, py, pc, pc, jnp.int32(0),
+                                jnp.int32(0), jnp.int32(2), **kw)
+        sb = int(out[4])
+        assert not bool(out[7])
+        return np.asarray(out[3]).astype(">u4").tobytes()[: (sb + 7) // 8]
+
+    motion._ME_IMPL = "fused"
+    entropy._ACSYM_IMPL = "pallas"
+    bitpack._PACK_IMPL = "pallas"
+    M._TRANSFORM_IMPL = "pallas"
+    got = run()
+    motion._ME_IMPL = "xla"
+    entropy._ACSYM_IMPL = "xla"
+    bitpack._PACK_IMPL = "xla"
+    M._TRANSFORM_IMPL = "xla"
+    want = run()
+    assert got == want
+
+
 def test_interpreted_full_frame_stream_matches_xla(interpret_kernels):
     """End-to-end: encode_frame_core with ALL THREE kernels forced on (via the
     interpreter) must produce the byte-identical payload to the XLA path -
