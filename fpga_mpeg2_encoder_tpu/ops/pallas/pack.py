@@ -46,8 +46,11 @@ _RB = 8  # rows per grid step (minor-dim sublanes in phase 1)
 def _level_width(level: int, prev_w: int, cap_words: int,
                  budget_bps: int, budget_margin: int) -> Tuple[int, bool]:
     """Width (words) of merge level `level` (nodes span 2**level slots) and
-    whether it is capped below the worst case.  MUST match
-    bitpack.pack_symbols so both implementations accept/overflow identically."""
+    whether it is capped below the worst case.  Mirrors the budget policy of
+    bitpack.pack_symbols, but widths >= nlev-7 are additionally rounded up to
+    128-word multiples for the lane layout, so capped levels (and hence the
+    overflow flag) can differ from the XLA tree on the same input - see the
+    pack_symbols_pallas docstring."""
     need = (24 * (1 << level) + 31) // 32
     w = min(need, 2 * prev_w, cap_words)
     if budget_bps > 0:

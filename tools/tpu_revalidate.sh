@@ -10,6 +10,10 @@ echo "== backend probe =="
 timeout 180 python -c "import jax; print(jax.devices())" || {
   echo "TPU backend unreachable; aborting"; exit 1; }
 
+echo "== per-kernel Mosaic lowering smoke =="
+timeout 900 python tools/tpu_smoke.py \
+  2>&1 | tee /tmp/tpu_reval/smoke.log | tail -20
+
 echo "== on-chip exactness (8 tests) =="
 TPU_EXACTNESS=1 timeout 3000 python -m pytest tests/test_tpu_exactness.py -x -q \
   2>&1 | tee /tmp/tpu_reval/exactness.log | tail -3
