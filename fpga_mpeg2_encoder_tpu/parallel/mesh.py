@@ -29,6 +29,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(n_stream: int, n_slice: int,
+                axes: tuple = ("stream", "slice")) -> Mesh:
+    """2-D mesh: independent streams on the first axis (DP, no collectives),
+    slice-row shards on the second (halo exchange rings over ICI).  On real
+    hardware the slice axis should map to the faster/inner ICI dimension since
+    it carries the only communication."""
+    devs = jax.devices()
+    need = n_stream * n_slice
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_stream, n_slice), axes)
+
+
 def stream_sharding(mesh: Mesh, axis: str = "stream") -> NamedSharding:
     """Shard the leading (stream-batch) dimension; replicate the rest."""
     return NamedSharding(mesh, P(axis))

@@ -45,26 +45,11 @@ from ..ops import bitpack, colorspace, dct, entropy, motion
 from .halo import exchange_halo
 
 
-def make_sharded_frame_encoder(
-    mesh: Mesh, height: int, width: int, *,
-    yr: int, ur: int, q_level: int,
-    row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
-    budget_bps: int = DEFAULT_BUDGET_BPS, axis: str = "slice",
-):
-    """Build a jitted slice-row-sharded single-frame encoder.
-
-    Returns ``fn(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
-    -> (recon_y, recon_u, recon_v, fwords, fbits, overflow)`` with the frame
-    planes sharded over ``axis`` on their row dimension (recon outputs keep
-    that sharding for the next frame); the payload is byte-identical to
-    models/encoder.encode_frame_core's.
-    """
-    nsh = mesh.shape[axis]
-    nby, nbx = height // 16, width // 16
-    if nby % nsh != 0:
-        raise ValueError(f"{nby} macroblock rows do not divide {nsh} shards")
-    rows_l = nby // nsh
-
+def _make_local_step(nby: int, nbx: int, rows_l: int, *,
+                     yr: int, ur: int, q_level: int,
+                     row_cap: int, budget_bps: int, axis: str):
+    """Per-shard frame step (this device's slice rows only): the body shared by
+    the 1-D slice-sharded encoder and the 2-D stream x slice composition."""
     from ..models.encoder import _TRANSFORM_IMPL
 
     def local_step(y, u, v, py, pu, pv, i_frame, frame_no):
@@ -115,6 +100,33 @@ def make_sharded_frame_encoder(
             sym.slots, row_cap, budget_bps=budget_bps)
         return ry, ru, rv, words, bits, ovf.reshape(1)
 
+    return local_step
+
+
+def make_sharded_frame_encoder(
+    mesh: Mesh, height: int, width: int, *,
+    yr: int, ur: int, q_level: int,
+    row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
+    budget_bps: int = DEFAULT_BUDGET_BPS, axis: str = "slice",
+):
+    """Build a jitted slice-row-sharded single-frame encoder.
+
+    Returns ``fn(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+    -> (recon_y, recon_u, recon_v, fwords, fbits, overflow)`` with the frame
+    planes sharded over ``axis`` on their row dimension (recon outputs keep
+    that sharding for the next frame); the payload is byte-identical to
+    models/encoder.encode_frame_core's.
+    """
+    nsh = mesh.shape[axis]
+    nby, nbx = height // 16, width // 16
+    if nby % nsh != 0:
+        raise ValueError(f"{nby} macroblock rows do not divide {nsh} shards")
+    rows_l = nby // nsh
+
+    local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
+                                  q_level=q_level, row_cap=row_cap,
+                                  budget_bps=budget_bps, axis=axis)
+
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
@@ -148,3 +160,80 @@ def sharded_frame_shardings(mesh: Mesh, axis: str = "slice"
                             ) -> Tuple[NamedSharding, NamedSharding]:
     """(plane sharding, replicated) for placing frame planes on the mesh."""
     return (NamedSharding(mesh, P(axis, None)), NamedSharding(mesh, P()))
+
+
+def make_sharded_batch_encoder(
+    mesh: Mesh, batch: int, height: int, width: int, *,
+    yr: int, ur: int, q_level: int,
+    row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
+    budget_bps: int = DEFAULT_BUDGET_BPS,
+    stream_axis: str = "stream", slice_axis: str = "slice",
+):
+    """2-D mesh composition: stream data-parallelism x slice-row sharding.
+
+    A batch of independent streams is sharded over ``stream_axis`` (the
+    embarrassingly parallel axis - zero collectives, SURVEY.md section 2.9 DP)
+    while each frame's macroblock rows are simultaneously sharded over
+    ``slice_axis`` (halo exchange over ICI, as make_sharded_frame_encoder).
+    This is the production scale-out layout for a fleet of concurrent encodes
+    on a pod slice: (streams x slice-shards) devices, with all communication
+    confined to the slice axis rings.
+
+    Returns ``fn(y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)``
+    over leading-batch arrays ((B, H, W) planes, (B,) scalars) ->
+    ``(recon_y, recon_u, recon_v, fwords (B, frame_cap), fbits (B,),
+    overflow (B,))``; each stream's payload is byte-identical to
+    models/encoder.encode_frame_core's.
+    """
+    n_stream = mesh.shape[stream_axis]
+    n_slice = mesh.shape[slice_axis]
+    nby, nbx = height // 16, width // 16
+    if batch % n_stream != 0:
+        raise ValueError(f"batch {batch} does not divide {n_stream} stream shards")
+    if nby % n_slice != 0:
+        raise ValueError(f"{nby} macroblock rows do not divide {n_slice} shards")
+    rows_l = nby // n_slice
+
+    local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
+                                  q_level=q_level, row_cap=row_cap,
+                                  budget_bps=budget_bps, axis=slice_axis)
+
+    pb = P(stream_axis, slice_axis, None)   # (B, rows, W) planes / (B, nby, cap) words
+    ps = P(stream_axis)                     # (B,) per-stream scalars
+    sharded = jax.shard_map(
+        jax.vmap(local_step), mesh=mesh,
+        in_specs=(pb, pb, pb, pb, pb, pb, ps, ps),
+        out_specs=(pb, pb, pb, pb, P(stream_axis, slice_axis),
+                   P(stream_axis, slice_axis)),
+        check_vma=False,
+    )
+
+    def frame_tail(rows_w, rows_b, ovf_sh, i_frame, frame_no):
+        # GOP/picture header rows: tiny, packed outside the sharded region
+        hc, hl = entropy._header_rows(i_frame, frame_no, 16)
+        hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
+        all_w = jnp.concatenate([hw, rows_w], axis=0)
+        all_b = jnp.concatenate([hb, rows_b], axis=0)
+        fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
+        overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
+            | (fbits > 32 * frame_cap)
+        return fwords, fbits, overflow
+
+    @jax.jit
+    def encode_frames(y444, u444, v444, prev_y, prev_u, prev_v,
+                      i_frame, frame_no):
+        ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
+            y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+        fwords, fbits, overflow = jax.vmap(frame_tail)(
+            rows_w, rows_b, ovf_sh, i_frame, frame_no)
+        return ry, ru, rv, fwords, fbits, overflow
+
+    return encode_frames
+
+
+def sharded_batch_shardings(mesh: Mesh, stream_axis: str = "stream",
+                            slice_axis: str = "slice"
+                            ) -> Tuple[NamedSharding, NamedSharding]:
+    """(plane sharding, per-stream-scalar sharding) for the 2-D layout."""
+    return (NamedSharding(mesh, P(stream_axis, slice_axis, None)),
+            NamedSharding(mesh, P(stream_axis)))

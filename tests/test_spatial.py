@@ -97,3 +97,52 @@ def test_sharded_sequence_stream_decodes(rng):
     dec = decode_sequence(data)
     assert len(dec.pictures) == nf
     validate_sequence(data, expected_frames=nf)
+
+
+def test_2d_mesh_stream_by_slice_bit_exact(rng):
+    """Stream-DP x slice-row-SP on a 2-D (2 stream x 4 slice) mesh: every
+    stream's payload and reconstruction byte-identical to single-chip, with
+    per-stream GOP phases differing so the batched header rows diverge."""
+    from fpga_mpeg2_encoder_tpu.parallel.mesh import make_mesh2d
+    from fpga_mpeg2_encoder_tpu.parallel.spatial import (
+        make_sharded_batch_encoder, sharded_batch_shardings)
+
+    B, h, w = 4, 64, 96
+    mesh = make_mesh2d(2, 4)
+    kw = dict(yr=6, ur=3, q_level=2)
+    enc = make_sharded_batch_encoder(mesh, B, h, w, **kw)
+    plane_sh, scalar_sh = sharded_batch_shardings(mesh)
+    videos = [make_video(rng, w, h, 3, k)
+              for k in ("pan", "noise", "pan", "still")]
+
+    prev_s = (jax.device_put(np.zeros((B, h, w), np.uint8), plane_sh),
+              jax.device_put(np.zeros((B, h // 2, w // 2), np.uint8), plane_sh),
+              jax.device_put(np.zeros((B, h // 2, w // 2), np.uint8), plane_sh))
+    prev_r = [tuple(jnp.zeros(s, jnp.uint8)
+                    for s in ((h, w), (h // 2, w // 2), (h // 2, w // 2)))
+              for _ in range(B)]
+    for fi in range(3):
+        y = np.stack([videos[b][fi][0] for b in range(B)])
+        u = np.stack([videos[b][fi][1] for b in range(B)])
+        v = np.stack([videos[b][fi][2] for b in range(B)])
+        i_f = np.asarray([fi, fi, (fi + 1) % 2, fi], np.int32)
+        fno = np.full(B, fi, np.int32)
+        ry, ru, rv, fw, fb, ovf = enc(
+            jax.device_put(y, plane_sh), jax.device_put(u, plane_sh),
+            jax.device_put(v, plane_sh), *prev_s,
+            jax.device_put(i_f, scalar_sh), jax.device_put(fno, scalar_sh))
+        assert not bool(np.asarray(ovf).any())
+        for b in range(B):
+            ref = encode_frame_core(
+                jnp.asarray(y[b]), jnp.asarray(u[b]), jnp.asarray(v[b]),
+                *prev_r[b], jnp.int32(i_f[b]), jnp.int32(fno[b]),
+                row_cap=DEFAULT_ROW_CAP, frame_cap=DEFAULT_FRAME_CAP, **kw)
+            assert int(np.asarray(fb)[b]) == int(ref[4]), (fi, b)
+            nw = (int(ref[4]) + 31) // 32
+            assert (np.asarray(fw)[b, :nw] == np.asarray(ref[3])[:nw]).all(), \
+                (fi, b)
+            assert (np.asarray(ry)[b] == np.asarray(ref[0])).all(), (fi, b)
+            assert (np.asarray(ru)[b] == np.asarray(ref[1])).all(), (fi, b)
+            assert (np.asarray(rv)[b] == np.asarray(ref[2])).all(), (fi, b)
+            prev_r[b] = tuple(ref[:3])
+        prev_s = (ry, ru, rv)
