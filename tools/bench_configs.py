@@ -13,7 +13,7 @@ reps, forced completion by scalar readback, frames staged in HBM):
   shards over the `stream` mesh axis with per-stream bit-exactness; on one
   chip this records the aggregate-throughput datapoint available here).
 
-Writes BENCH_CONFIGS_r03.json and prints one JSON line per config.
+Writes BENCH_CONFIGS_r04.json and prints one JSON line per config.
 """
 import json
 import sys
@@ -158,7 +158,7 @@ def main():
                     "value": round(mpix, 1), "unit": "MPixels/s",
                     "vs_baseline": round(mpix / 268, 3)})
 
-    with open("/root/repo/BENCH_CONFIGS_r03.json", "w") as f:
+    with open("/root/repo/BENCH_CONFIGS_r04.json", "w") as f:
         json.dump(results, f, indent=1)
     for r in results:
         print(json.dumps(r))

@@ -25,7 +25,7 @@ PROF_NF=48 timeout 1200 python tools/profile_stages.py \
 echo "== headline bench =="
 timeout 1200 python bench.py 2>&1 | tee /tmp/tpu_reval/bench.log | tail -2
 
-echo "== config benches (writes BENCH_CONFIGS_r03.json) =="
+echo "== config benches (writes BENCH_CONFIGS_r04.json) =="
 timeout 3000 python tools/bench_configs.py \
   2>&1 | tee /tmp/tpu_reval/configs.log | tail -7
 
