@@ -229,15 +229,3 @@ def append_bitstring(seq: jnp.ndarray, seq_bits: jnp.ndarray,
     off = (seq_bits >> 5).astype(jnp.int32)
     region = jax.lax.dynamic_slice(seq, (off,), (c + 1,)) | sh
     return jax.lax.dynamic_update_slice(seq, region, (off,)), seq_bits + b_bits
-
-
-def pack_frame(codes: jnp.ndarray, lens: jnp.ndarray,
-               row_cap_words: int, frame_cap_words: int
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack a frame's (R, S) symbol slot grid into one byte-aligned bit-string.
-
-    Each row (header group or slice) is packed independently and byte-aligned
-    (start codes must begin on byte boundaries, RTL:2940-2943), then rows merge
-    in a log2(R) tree."""
-    w, b, _ = pack_symbols(codes, lens, row_cap_words)
-    return merge_rows(w, b, frame_cap_words)

@@ -12,11 +12,6 @@ def mean2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (1 + a.astype(jnp.int32) + b.astype(jnp.int32)) >> 1
 
 
-def mean4(a, b, c, d) -> jnp.ndarray:
-    return (1 + a.astype(jnp.int32) + b.astype(jnp.int32)
-            + c.astype(jnp.int32) + d.astype(jnp.int32)) >> 2
-
-
 def subsample_420(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """(H, W) uint8 4:4:4 planes -> (y, u420, v420) with u/v at (H/2, W/2)."""
     uh = mean2(u[:, 0::2], u[:, 1::2])

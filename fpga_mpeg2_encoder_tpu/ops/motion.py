@@ -372,11 +372,6 @@ def _estimate_and_predict_local_xla(
                         _chroma_pred_h(prev_v_h, inter, mvx, mvy, ur))
 
 
-def _chroma_pred(plane: jnp.ndarray, inter: jnp.ndarray,
-                 mvx: jnp.ndarray, mvy: jnp.ndarray, ur: int) -> jnp.ndarray:
-    return _chroma_pred_h(jnp.pad(plane, ((4, 4), (0, 0))), inter, mvx, mvy, ur)
-
-
 def _chroma_pred_h(plane_h: jnp.ndarray, inter: jnp.ndarray,
                    mvx: jnp.ndarray, mvy: jnp.ndarray, ur: int) -> jnp.ndarray:
     """Chroma prediction: luma mv halved, own half-pel interp (RTL:1847-1917).
