@@ -103,11 +103,62 @@ def _make_local_step(nby: int, nbx: int, rows_l: int, *,
     return local_step
 
 
+def _compile_with_demotion(build, probe_inputs, demote):
+    """Build a jitted sharded encoder with the production kernel selection;
+    if the probe compile fails (e.g. Mosaic rejects a Pallas kernel under
+    shard_map - different layout/VMA paths than the single-chip call), flip
+    the shared impl knobs to the bit-identical XLA formulations and rebuild.
+
+    This mirrors bench.py's graceful-degradation ladder: the RTL contract has
+    no error path (RTL/mpeg2encoder.v:16-37, the module always completes), so
+    neither does the production sharded encoder.  All kernel combinations are
+    bit-exact (tests/test_spatial.py), so a demotion only affects speed; the
+    demoted knobs stay set process-wide (consistent with bench.py) and the
+    demotion is reported on stderr.
+
+    ``demote=None`` probes only on a TPU backend (Mosaic is the only lowering
+    that can reject a kernel; CPU tests would pay a pointless compile).
+    """
+    import sys
+
+    from ..models import encoder as M
+    from ..ops import bitpack as _bp, entropy as _en, motion as _mo
+
+    if demote is None:
+        demote = jax.default_backend() == "tpu"
+    if not demote:
+        return build()
+    last = None
+    for impls, label in ((None, "all production kernels"),
+                         (("xla", "auto", "auto", "auto"),
+                          "transform kernel disabled"),
+                         (("xla", "xla", "xla", "auto"),
+                          "entropy/pack kernels disabled"),
+                         (("xla", "xla", "xla", "xla"),
+                          "all XLA formulations")):
+        if impls is not None:
+            (M._TRANSFORM_IMPL, _en._ACSYM_IMPL,
+             _bp._PACK_IMPL, _mo._ME_IMPL) = impls
+        try:
+            fn = build()
+            fn.lower(*probe_inputs()).compile()
+            if impls is not None:
+                print(f"WARNING: sharded encoder demoted to {label}: "
+                      f"{type(last).__name__}: {str(last)[:300]}",
+                      file=sys.stderr)
+            return fn
+        except Exception as e:
+            last = e
+    raise RuntimeError("sharded encoder failed to compile on every kernel "
+                       f"combination: {type(last).__name__}: {str(last)[:300]}")
+
+
 def make_sharded_frame_encoder(
     mesh: Mesh, height: int, width: int, *,
     yr: int, ur: int, q_level: int,
     row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
     budget_bps: int = DEFAULT_BUDGET_BPS, axis: str = "slice",
+    demote: bool | None = None,
 ):
     """Build a jitted slice-row-sharded single-frame encoder.
 
@@ -116,6 +167,16 @@ def make_sharded_frame_encoder(
     planes sharded over ``axis`` on their row dimension (recon outputs keep
     that sharding for the next frame); the payload is byte-identical to
     models/encoder.encode_frame_core's.
+
+    Overflow contract: if the returned ``overflow`` flag is set, the payload
+    was truncated against ``row_cap``/``frame_cap``/``budget_bps`` and MUST
+    NOT be shipped - re-encode the frame through the host-stitch retry path
+    (models/encoder.Encoder handles this automatically; callers using this
+    factory directly gather the per-MB symbols and stitch on host, see
+    ops/pallas/pack.py's contract note).  On a TPU backend the factory
+    probe-compiles the production kernel set and demotes unlowerable kernels
+    to the bit-identical XLA twins (``demote`` overrides: True forces the
+    probe, False skips it).
     """
     nsh = mesh.shape[axis]
     nby, nbx = height // 16, width // 16
@@ -123,37 +184,52 @@ def make_sharded_frame_encoder(
         raise ValueError(f"{nby} macroblock rows do not divide {nsh} shards")
     rows_l = nby // nsh
 
-    local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
-                                  q_level=q_level, row_cap=row_cap,
-                                  budget_bps=budget_bps, axis=axis)
+    def build():
+        local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
+                                      q_level=q_level, row_cap=row_cap,
+                                      budget_bps=budget_bps, axis=axis)
 
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(axis, None), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None),
-                   P(axis, None), P(axis), P(axis)),
-        # pallas_call outputs carry no varying-mesh-axes metadata; the
-        # byte-equality tests prove the sharding is correct
-        check_vma=False,
-    )
+        sharded = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis, None), P(axis, None), P(), P()),
+            out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P(axis), P(axis)),
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # byte-equality tests prove the sharding is correct
+            check_vma=False,
+        )
 
-    @jax.jit
-    def encode_frame(y444, u444, v444, prev_y, prev_u, prev_v,
-                     i_frame, frame_no):
-        ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
-            y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
-        # GOP/picture header rows: tiny, packed outside the sharded region
-        hc, hl = entropy._header_rows(i_frame, frame_no, 16)
-        hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
-        all_w = jnp.concatenate([hw, rows_w], axis=0)
-        all_b = jnp.concatenate([hb, rows_b], axis=0)
-        fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
-        overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
-            | (fbits > 32 * frame_cap)
-        return ry, ru, rv, fwords, fbits, overflow
+        @jax.jit
+        def encode_frame(y444, u444, v444, prev_y, prev_u, prev_v,
+                         i_frame, frame_no):
+            ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
+                y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+            # GOP/picture header rows: tiny, packed outside the sharded region
+            hc, hl = entropy._header_rows(i_frame, frame_no, 16)
+            hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
+            all_w = jnp.concatenate([hw, rows_w], axis=0)
+            all_b = jnp.concatenate([hb, rows_b], axis=0)
+            fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
+            overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
+                | (fbits > 32 * frame_cap)
+            return ry, ru, rv, fwords, fbits, overflow
 
-    return encode_frame
+        return encode_frame
+
+    def probe_inputs():
+        plane, repl = sharded_frame_shardings(mesh, axis)
+        s = jax.ShapeDtypeStruct
+        return (s((height, width), jnp.uint8, sharding=plane),
+                s((height, width), jnp.uint8, sharding=plane),
+                s((height, width), jnp.uint8, sharding=plane),
+                s((height, width), jnp.uint8, sharding=plane),
+                s((height // 2, width // 2), jnp.uint8, sharding=plane),
+                s((height // 2, width // 2), jnp.uint8, sharding=plane),
+                s((), jnp.int32, sharding=repl),
+                s((), jnp.int32, sharding=repl))
+
+    return _compile_with_demotion(build, probe_inputs, demote)
 
 
 def sharded_frame_shardings(mesh: Mesh, axis: str = "slice"
@@ -168,6 +244,7 @@ def make_sharded_batch_encoder(
     row_cap: int = DEFAULT_ROW_CAP, frame_cap: int = DEFAULT_FRAME_CAP,
     budget_bps: int = DEFAULT_BUDGET_BPS,
     stream_axis: str = "stream", slice_axis: str = "slice",
+    demote: bool | None = None,
 ):
     """2-D mesh composition: stream data-parallelism x slice-row sharding.
 
@@ -184,6 +261,12 @@ def make_sharded_batch_encoder(
     ``(recon_y, recon_u, recon_v, fwords (B, frame_cap), fbits (B,),
     overflow (B,))``; each stream's payload is byte-identical to
     models/encoder.encode_frame_core's.
+
+    Overflow contract: a set ``overflow[b]`` means stream ``b``'s payload was
+    truncated against the caps and MUST NOT be shipped - re-encode that frame
+    via the host-stitch retry path (see make_sharded_frame_encoder's note).
+    On a TPU backend unlowerable Pallas kernels demote to the bit-identical
+    XLA twins (``demote`` as in make_sharded_frame_encoder).
     """
     n_stream = mesh.shape[stream_axis]
     n_slice = mesh.shape[slice_axis]
@@ -194,41 +277,56 @@ def make_sharded_batch_encoder(
         raise ValueError(f"{nby} macroblock rows do not divide {n_slice} shards")
     rows_l = nby // n_slice
 
-    local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
-                                  q_level=q_level, row_cap=row_cap,
-                                  budget_bps=budget_bps, axis=slice_axis)
+    def build():
+        local_step = _make_local_step(nby, nbx, rows_l, yr=yr, ur=ur,
+                                      q_level=q_level, row_cap=row_cap,
+                                      budget_bps=budget_bps, axis=slice_axis)
 
-    pb = P(stream_axis, slice_axis, None)   # (B, rows, W) planes / (B, nby, cap) words
-    ps = P(stream_axis)                     # (B,) per-stream scalars
-    sharded = jax.shard_map(
-        jax.vmap(local_step), mesh=mesh,
-        in_specs=(pb, pb, pb, pb, pb, pb, ps, ps),
-        out_specs=(pb, pb, pb, pb, P(stream_axis, slice_axis),
-                   P(stream_axis, slice_axis)),
-        check_vma=False,
-    )
+        pb = P(stream_axis, slice_axis, None)   # (B, rows, W) planes / (B, nby, cap) words
+        ps = P(stream_axis)                     # (B,) per-stream scalars
+        sharded = jax.shard_map(
+            jax.vmap(local_step), mesh=mesh,
+            in_specs=(pb, pb, pb, pb, pb, pb, ps, ps),
+            out_specs=(pb, pb, pb, pb, P(stream_axis, slice_axis),
+                       P(stream_axis, slice_axis)),
+            check_vma=False,
+        )
 
-    def frame_tail(rows_w, rows_b, ovf_sh, i_frame, frame_no):
-        # GOP/picture header rows: tiny, packed outside the sharded region
-        hc, hl = entropy._header_rows(i_frame, frame_no, 16)
-        hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
-        all_w = jnp.concatenate([hw, rows_w], axis=0)
-        all_b = jnp.concatenate([hb, rows_b], axis=0)
-        fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
-        overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
-            | (fbits > 32 * frame_cap)
-        return fwords, fbits, overflow
+        def frame_tail(rows_w, rows_b, ovf_sh, i_frame, frame_no):
+            # GOP/picture header rows: tiny, packed outside the sharded region
+            hc, hl = entropy._header_rows(i_frame, frame_no, 16)
+            hw, hb, hovf = bitpack.pack_slots(entropy.pack_slot(hc, hl), row_cap)
+            all_w = jnp.concatenate([hw, rows_w], axis=0)
+            all_b = jnp.concatenate([hb, rows_b], axis=0)
+            fwords, fbits = bitpack.merge_rows(all_w, all_b, frame_cap)
+            overflow = ovf_sh.any() | hovf | (rows_b > 32 * row_cap).any() \
+                | (fbits > 32 * frame_cap)
+            return fwords, fbits, overflow
 
-    @jax.jit
-    def encode_frames(y444, u444, v444, prev_y, prev_u, prev_v,
-                      i_frame, frame_no):
-        ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
-            y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
-        fwords, fbits, overflow = jax.vmap(frame_tail)(
-            rows_w, rows_b, ovf_sh, i_frame, frame_no)
-        return ry, ru, rv, fwords, fbits, overflow
+        @jax.jit
+        def encode_frames(y444, u444, v444, prev_y, prev_u, prev_v,
+                          i_frame, frame_no):
+            ry, ru, rv, rows_w, rows_b, ovf_sh = sharded(
+                y444, u444, v444, prev_y, prev_u, prev_v, i_frame, frame_no)
+            fwords, fbits, overflow = jax.vmap(frame_tail)(
+                rows_w, rows_b, ovf_sh, i_frame, frame_no)
+            return ry, ru, rv, fwords, fbits, overflow
 
-    return encode_frames
+        return encode_frames
+
+    def probe_inputs():
+        plane, scalar = sharded_batch_shardings(mesh, stream_axis, slice_axis)
+        s = jax.ShapeDtypeStruct
+        return (s((batch, height, width), jnp.uint8, sharding=plane),
+                s((batch, height, width), jnp.uint8, sharding=plane),
+                s((batch, height, width), jnp.uint8, sharding=plane),
+                s((batch, height, width), jnp.uint8, sharding=plane),
+                s((batch, height // 2, width // 2), jnp.uint8, sharding=plane),
+                s((batch, height // 2, width // 2), jnp.uint8, sharding=plane),
+                s((batch,), jnp.int32, sharding=scalar),
+                s((batch,), jnp.int32, sharding=scalar))
+
+    return _compile_with_demotion(build, probe_inputs, demote)
 
 
 def sharded_batch_shardings(mesh: Mesh, stream_axis: str = "stream",
