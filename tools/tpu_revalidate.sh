@@ -22,6 +22,14 @@ echo "== per-stage profile (NF=48) =="
 PROF_NF=48 timeout 1200 python tools/profile_stages.py \
   2>&1 | tee /tmp/tpu_reval/profile.log | tail -8
 
+echo "== sharded-path overhead profile (1-dev slice mesh vs plain) =="
+timeout 1200 python tools/profile_sharded.py \
+  2>&1 | tee /tmp/tpu_reval/sharded.log | tail -4
+
+echo "== batched-path stage ablation (B=1 vs B=8) =="
+timeout 1800 python tools/profile_batched.py \
+  2>&1 | tee /tmp/tpu_reval/batched.log | tail -10
+
 echo "== headline bench =="
 timeout 1200 python bench.py 2>&1 | tee /tmp/tpu_reval/bench.log | tail -2
 
