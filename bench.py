@@ -175,6 +175,7 @@ def main():
     # bit-identical; the digest check re-proves it per attempt.
     combos = [
         (None, "all production kernels"),
+        (("auto", "auto", "auto", "split"), "ME luma/chroma kernels split"),
         (("xla", "auto", "auto", "auto"), "transform kernel disabled"),
         (("xla", "xla", "xla", "auto"), "entropy/pack kernels disabled"),
         (("xla", "xla", "xla", "xla"), "all XLA formulations"),

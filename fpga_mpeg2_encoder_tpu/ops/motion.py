@@ -32,10 +32,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# luma motion-estimation implementation: "fused" (single Pallas kernel doing
-# SAD volume + argmin + recentering + half-pel + prediction, ops/pallas/me.py),
+# motion-estimation implementation: "fused" (ONE Pallas kernel doing SAD
+# volume + argmin + recentering + half-pel + luma AND chroma prediction,
+# ops/pallas/me.py), "split" (the same work as two kernel launches - luma ME
+# then chroma prediction, with the mv maps round-tripping through HBM),
 # "xla" (this module's staged formulation), or "auto" (fused on TPU).
 _ME_IMPL = os.environ.get("FPGA_MPEG2_ME_IMPL", "auto")
+
+
+def _use_kernel() -> bool:
+    return _ME_IMPL in ("fused", "split") or (
+        _ME_IMPL == "auto" and jax.default_backend() == "tpu")
 
 
 class MotionResult(NamedTuple):
@@ -150,12 +157,17 @@ def estimate_and_predict(
     h, w = cur_y.shape
     nby = h // 16
 
-    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
-                               and jax.default_backend() == "tpu"):
-        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
-        inter, mvx, mvy, pred_y = motion_estimate_pallas(
-            cur_y, prev_y, is_iframe, yr)
-        pred_u, pred_v = chroma_pred_pallas(prev_u, prev_v, inter, mvx, mvy, ur)
+    if _use_kernel():
+        from .pallas import me as k_me
+        if _ME_IMPL == "split":
+            inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+                cur_y, prev_y, is_iframe, yr)
+            pred_u, pred_v = k_me.chroma_pred_pallas(prev_u, prev_v,
+                                                     inter, mvx, mvy, ur)
+        else:
+            inter, mvx, mvy, pred_y, pred_u, pred_v = \
+                k_me.motion_estimate_fused_pallas(
+                    cur_y, prev_y, prev_u, prev_v, is_iframe, yr, ur)
         return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
 
     return estimate_and_predict_local(
@@ -175,13 +187,18 @@ def estimate_and_predict_planes(
     tile-major marshalling entirely on the production path."""
     h, w = cur_y.shape
     nby = h // 16
-    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
-                               and jax.default_backend() == "tpu"):
-        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
-        inter, mvx, mvy, pred_y = motion_estimate_pallas(
-            cur_y, prev_y, is_iframe, yr, as_plane=True)
-        pred_u, pred_v = chroma_pred_pallas(prev_u, prev_v, inter, mvx, mvy,
-                                            ur, as_plane=True)
+    if _use_kernel():
+        from .pallas import me as k_me
+        if _ME_IMPL == "split":
+            inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+                cur_y, prev_y, is_iframe, yr, as_plane=True)
+            pred_u, pred_v = k_me.chroma_pred_pallas(
+                prev_u, prev_v, inter, mvx, mvy, ur, as_plane=True)
+        else:
+            inter, mvx, mvy, pred_y, pred_u, pred_v = \
+                k_me.motion_estimate_fused_pallas(
+                    cur_y, prev_y, prev_u, prev_v, is_iframe, yr, ur,
+                    as_plane=True)
         return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
     mr = estimate_and_predict(cur_y, cur_u, cur_v, prev_y, prev_u, prev_v,
                               is_iframe, yr, ur)
@@ -215,16 +232,22 @@ def estimate_and_predict_local(
     Dispatches to the same production Pallas kernels as the whole-frame path
     on TPU (VERDICT round-2: the sharded pipeline must not run a permanently
     divergent formulation), with the XLA formulation as fallback."""
-    if _ME_IMPL == "fused" or (_ME_IMPL == "auto"
-                               and jax.default_backend() == "tpu"):
-        from .pallas.me import chroma_pred_pallas, motion_estimate_pallas
-        inter, mvx, mvy, pred_y = motion_estimate_pallas(
-            cur_y, prev_y_h, is_iframe, yr,
-            first_mb_row=first_mb_row, total_mb_rows=total_mb_rows,
-            halo=True, as_plane=as_planes)
-        pred_u, pred_v = chroma_pred_pallas(prev_u_h, prev_v_h, inter,
-                                            mvx, mvy, ur, halo=True,
-                                            as_plane=as_planes)
+    if _use_kernel():
+        from .pallas import me as k_me
+        if _ME_IMPL == "split":
+            inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+                cur_y, prev_y_h, is_iframe, yr,
+                first_mb_row=first_mb_row, total_mb_rows=total_mb_rows,
+                halo=True, as_plane=as_planes)
+            pred_u, pred_v = k_me.chroma_pred_pallas(
+                prev_u_h, prev_v_h, inter, mvx, mvy, ur, halo=True,
+                as_plane=as_planes)
+        else:
+            inter, mvx, mvy, pred_y, pred_u, pred_v = \
+                k_me.motion_estimate_fused_pallas(
+                    cur_y, prev_y_h, prev_u_h, prev_v_h, is_iframe, yr, ur,
+                    first_mb_row=first_mb_row, total_mb_rows=total_mb_rows,
+                    halo=True, as_plane=as_planes)
         return MotionResult(inter, mvx, mvy, pred_y, pred_u, pred_v)
     mr = _estimate_and_predict_local_xla(
         cur_y, prev_y_h, prev_u_h, prev_v_h, is_iframe, yr, ur,

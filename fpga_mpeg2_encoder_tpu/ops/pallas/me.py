@@ -81,10 +81,10 @@ def _geom(w: int, h: int, yr: int) -> Tuple[int, int, int, int, int]:
     return g, sw, wt, nbx, nbyf
 
 
-def _kernel(yr: int, w: int, sw: int, g: int, nbx: int, nby: int, wt: int,
-            magic: int, magicb: int,
-            cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
-            pred_ref, meta_ref, rs_ref):
+def _me_body(yr: int, w: int, sw: int, g: int, nbx: int, nby: int, wt: int,
+             magic: int, magicb: int,
+             cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
+             pred_ref, meta_ref, rs_ref):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -285,6 +285,91 @@ def _kernel(yr: int, w: int, sw: int, g: int, nbx: int, nby: int, wt: int,
         [mvx, mvy, inter.astype(jnp.int32),
          jnp.zeros((5, 128), jnp.int32)], axis=0)             # (8, 128)
     meta_ref[0] = meta
+    return mvx, mvy, inter
+
+
+def _kernel(yr, w, sw, g, nbx, nby, wt, magic, magicb,
+            cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
+            pred_ref, meta_ref, rs_ref):
+    _me_body(yr, w, sw, g, nbx, nby, wt, magic, magicb,
+             cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
+             pred_ref, meta_ref, rs_ref)
+
+
+def _chroma_predict(ur: int, wt: int, cfxl, cfyl, chxl, chyl, interl, w16):
+    """Shared chroma-prediction body (RTL:1847-1917): w16 (16, WT) window
+    strip (prev rows 8s-4 .. 8s+12 per segment, data at column offset +4),
+    per-lane maps cfx+ur / cfy+ur / half flags / inter -> (8, WT) prediction.
+    Used by both the standalone chroma kernel and the fused ME kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # per-lane column select from the unshifted window (consistent shifts
+    # across MB boundaries), then a per-lane row barrel.  Window data sits
+    # at +4 within each segment, so a left-roll by (4 + dx) aligns prev
+    # col c+dx under lane c - reads stay inside the segment's 4-col pads.
+    r0 = jnp.zeros_like(w16)
+    rp1 = jnp.zeros_like(w16)
+    for dx in range(-ur, ur + 1):
+        mask = cfxl == (dx + ur)
+        r0 = jnp.where(mask,
+                       pltpu.roll(w16, shift=(wt - (4 + dx)) % wt,
+                                  axis=1), r0)
+        rp1 = jnp.where(mask,
+                        pltpu.roll(w16, shift=(wt - (4 + dx + 1)) % wt,
+                                   axis=1), rp1)
+    # rows: w16 row r holds prev row 8*s + r - 4 (4-row halo pad); the
+    # window needs prev rows [8*s + cfy, +10) for the +1 interp row:
+    # base slice [4 - ur : 4 + ur + 9), then barrel by cfy + ur
+    h = 9 + 2 * ur
+
+    def row_align(x):
+        cur = x[4 - ur:4 + ur + 9, :]
+        rem = cfyl
+        hh = h
+        for s in _barrel_stages(ur):
+            hh -= s
+            cur = jnp.where(rem >= s, cur[s:s + hh, :], cur[:hh, :])
+            rem = rem - jnp.where(rem >= s, s, 0)
+        return cur                                            # (9, WT)
+
+    a0 = row_align(r0)
+    a1 = row_align(rp1)
+    p00 = a0[0:8, :]
+    ph = (1 + a0[0:8, :] + a1[0:8, :]) >> 1
+    pv_ = (1 + a0[0:8, :] + a0[1:9, :]) >> 1
+    pm = (1 + a0[0:8, :] + a1[0:8, :] + a0[1:9, :] + a1[1:9, :]) >> 2
+    hxb = chxl > 0
+    hyb = chyl > 0
+    p = jnp.where(hyb & hxb, pm,
+                  jnp.where(hxb, ph, jnp.where(hyb, pv_, p00)))
+    return jnp.where(interl > 0, p, jnp.int32(128))
+
+
+def _kernel_fused(yr, ur, w, sw, g, nbx, nby, wt, magic, magicb, wtc,
+                  cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
+                  u0_ref, u1_ref, v0_ref, v1_ref, btc_ref,
+                  pred_ref, meta_ref, pu_ref, pv_ref, rs_ref):
+    """Luma ME + chroma prediction in ONE kernel launch: the RTL computes
+    both in the same stage-F pipeline pass (RTL:1650-1918); fusing here
+    removes a kernel launch plus the mv/inter HBM round trip per strip -
+    the mv maps feed the chroma barrel straight from registers."""
+    mvx, mvy, inter = _me_body(
+        yr, w, sw, g, nbx, nby, wt, magic, magicb,
+        cur_ref, p0_ref, p1_ref, p2_ref, b_ref, bt_ref, scal_ref,
+        pred_ref, meta_ref, rs_ref)
+
+    btc = btc_ref[...].astype(jnp.bfloat16)                   # (128, WTC)
+    rows = jnp.concatenate(
+        [(mvx >> 2) + ur, (mvy >> 2) + ur,
+         (mvx >> 1) & 1, (mvy >> 1) & 1,
+         inter.astype(jnp.int32)], axis=0)                    # (5, 128) >= 0
+    v = rows.astype(jnp.float32).astype(jnp.bfloat16)
+    maps = jnp.dot(v, btc, preferred_element_type=jnp.float32).astype(jnp.int32)
+    cfxl, cfyl, chxl, chyl, interl = (maps[k:k + 1, :] for k in range(5))
+    wu = jnp.concatenate([u0_ref[...], u1_ref[...]], axis=0)  # (16, WTC)
+    wv = jnp.concatenate([v0_ref[...], v1_ref[...]], axis=0)
+    pu_ref[...] = _chroma_predict(ur, wtc, cfxl, cfyl, chxl, chyl, interl, wu)
+    pv_ref[...] = _chroma_predict(ur, wtc, cfxl, cfyl, chxl, chyl, interl, wv)
 
 
 def _fold_strips(x: jnp.ndarray, rows: int, g: int, nbyf: int, sw: int,
@@ -402,11 +487,125 @@ def motion_estimate_pallas(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
     return inter, mvx, mvy, pred_y
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("yr", "ur", "halo", "as_plane"))
+def motion_estimate_fused_pallas(
+        cur_y: jnp.ndarray, prev_y: jnp.ndarray,
+        prev_u: jnp.ndarray, prev_v: jnp.ndarray,
+        is_iframe: jnp.ndarray, yr: int, ur: int,
+        first_mb_row=None, total_mb_rows=None,
+        halo: bool = False, as_plane: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray, jnp.ndarray]:
+    """Luma ME + prediction + CHROMA prediction in one kernel launch
+    (RTL:1310-1918, the full stage-F datapath): one launch per frame step
+    instead of two, and the mv/inter MB maps never round-trip through HBM.
+
+    Args as motion_estimate_pallas, plus prev_u/prev_v ((H/2, W/2) uint8, or
+    (H/2 + 8, W/2) with a 4-row halo each side when ``halo=True``).  Returns
+    (inter, mvx, mvy, pred_y, pred_u, pred_v) - bit-exact vs the XLA path and
+    vs the split motion_estimate_pallas + chroma_pred_pallas pair."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = cur_y.shape
+    nby, nbx = h // 16, w // 16
+    n = 2 * yr + 1
+    g, sw, wt, _, nbyf = _geom(w, h, yr)
+    nout = -(-(n * n + 1) // 8) * 8
+    magic = -(-(1 << 15) // n)
+    for x in range(max(nout, 256)):
+        assert (x * magic) >> 15 == x // n, (n, x)
+    magicb = -(-(1 << 15) // nbx)
+    for x in range(128):
+        assert (x * magicb) >> 15 == x // nbx, (nbx, x)
+    if first_mb_row is None:
+        first_mb_row = jnp.int32(0)
+    if total_mb_rows is None:
+        total_mb_rows = jnp.int32(nby)
+
+    curf = _fold_strips(cur_y.astype(jnp.int32), 16, g, nbyf, sw, wt, 0)
+    pad_v = 8 if halo else 16
+    prev_p = jnp.pad(prev_y, ((pad_v, pad_v), (0, 0))).astype(jnp.int32)
+    p0 = _fold_strips(prev_p[0:], 16, g, nbyf, sw, wt, yr)
+    p1 = _fold_strips(prev_p[16:], 16, g, nbyf, sw, wt, yr)
+    p2 = _fold_strips(prev_p[32:], 16, g, nbyf, sw, wt, yr)
+    scal = jnp.stack([jnp.asarray(is_iframe, jnp.int32),
+                      jnp.asarray(first_mb_row, jnp.int32),
+                      jnp.asarray(total_mb_rows, jnp.int32),
+                      jnp.int32(0)]).reshape(1, 4)
+
+    # chroma windows: same G-segment folding at half resolution
+    wcr = w // 2
+    swc = wcr + 8
+    wtc = _pad128(g * swc)
+    if halo:
+        pu_p = prev_u.astype(jnp.int32)
+        pv_p = prev_v.astype(jnp.int32)
+    else:
+        pu_p = jnp.pad(prev_u, ((4, 4), (0, 0))).astype(jnp.int32)
+        pv_p = jnp.pad(prev_v, ((4, 4), (0, 0))).astype(jnp.int32)
+    u0 = _fold_strips(pu_p[0:], 8, g, nbyf, swc, wtc, 4)
+    u1 = _fold_strips(pu_p[8:], 8, g, nbyf, swc, wtc, 4)
+    v0 = _fold_strips(pv_p[0:], 8, g, nbyf, swc, wtc, 4)
+    v1 = _fold_strips(pv_p[8:], 8, g, nbyf, swc, wtc, 4)
+
+    vspec16 = pl.BlockSpec((16, wt), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec8 = pl.BlockSpec((8, wtc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pred, meta, pred_u, pred_v = pl.pallas_call(
+        functools.partial(_kernel_fused, yr, ur, w, sw, g, nbx, nby, wt,
+                          magic, magicb, wtc),
+        grid=(nbyf,),
+        in_specs=[
+            vspec16, vspec16, vspec16, vspec16,
+            pl.BlockSpec((wt, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, wt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            cspec8, cspec8, cspec8, cspec8,
+            pl.BlockSpec((128, wtc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vspec16,
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cspec8, cspec8,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbyf * 16, wt), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf * 8, wtc), jnp.int32),
+            jax.ShapeDtypeStruct((nbyf * 8, wtc), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nout, wt), jnp.int32)],
+        interpret=_INTERPRET,
+    )(curf, p0, p1, p2, _reduce_matrix(wt, w, sw, g, nbx),
+      _bcast_matrix(wt, w, sw, g, nbx), scal,
+      u0, u1, v0, v1, _bcast_matrix_c(wtc, wcr, swc, g, nbx))
+
+    pred_full = _unfold_strips(pred, 16, g, nby, sw, w)       # (nby*16, w)
+    if as_plane:
+        pred_y = pred_full
+    else:
+        pred_y = pred_full.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3)
+
+    def foldc(p):
+        full = _unfold_strips(p, 8, g, nby, swc, wcr)         # (nby*8, wc)
+        if as_plane:
+            return full
+        return full.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+
+    def unfold_mb(row):
+        return row[:, :g * nbx].reshape(nbyf * g, nbx)[:nby]
+    mvx = unfold_mb(meta[:, 0])
+    mvy = unfold_mb(meta[:, 1])
+    inter = unfold_mb(meta[:, 2]) != 0
+    return inter, mvx, mvy, pred_y, foldc(pred_u), foldc(pred_v)
+
+
 def _chroma_kernel(ur: int, wc: int, swc: int, g: int, nbx: int, wt: int,
                    p0u_ref, p1u_ref, p0v_ref, p1v_ref, bt_ref, meta_ref,
                    pu_ref, pv_ref):
-    from jax.experimental.pallas import tpu as pltpu
-
     bt = bt_ref[...].astype(jnp.bfloat16)                     # (128, WT)
     meta = meta_ref[0]                                        # (8, 128) int32
     mvx, mvy, inter = meta[0:1, :], meta[1:2, :], meta[2:3, :]
@@ -418,52 +617,10 @@ def _chroma_kernel(ur: int, wc: int, swc: int, g: int, nbx: int, wt: int,
     maps = jnp.dot(v, bt, preferred_element_type=jnp.float32).astype(jnp.int32)
     cfxl, cfyl, chxl, chyl, interl = (maps[k:k + 1, :] for k in range(5))
 
-    def predict(w16):
-        # per-lane column select from the unshifted window (consistent shifts
-        # across MB boundaries), then a per-lane row barrel.  Window data sits
-        # at +4 within each segment, so a left-roll by (4 + dx) aligns prev
-        # col c+dx under lane c - reads stay inside the segment's 4-col pads.
-        r0 = jnp.zeros_like(w16)
-        rp1 = jnp.zeros_like(w16)
-        for dx in range(-ur, ur + 1):
-            mask = cfxl == (dx + ur)
-            r0 = jnp.where(mask,
-                           pltpu.roll(w16, shift=(wt - (4 + dx)) % wt,
-                                      axis=1), r0)
-            rp1 = jnp.where(mask,
-                            pltpu.roll(w16, shift=(wt - (4 + dx + 1)) % wt,
-                                       axis=1), rp1)
-        # rows: w16 row r holds prev row 8*s + r - 4 (4-row halo pad); the
-        # window needs prev rows [8*s + cfy, +10) for the +1 interp row:
-        # base slice [4 - ur : 4 + ur + 9), then barrel by cfy + ur
-        h = 9 + 2 * ur
-
-        def row_align(x):
-            cur = x[4 - ur:4 + ur + 9, :]
-            rem = cfyl
-            hh = h
-            for s in _barrel_stages(ur):
-                hh -= s
-                cur = jnp.where(rem >= s, cur[s:s + hh, :], cur[:hh, :])
-                rem = rem - jnp.where(rem >= s, s, 0)
-            return cur                                        # (9, WT)
-
-        a0 = row_align(r0)
-        a1 = row_align(rp1)
-        p00 = a0[0:8, :]
-        ph = (1 + a0[0:8, :] + a1[0:8, :]) >> 1
-        pv_ = (1 + a0[0:8, :] + a0[1:9, :]) >> 1
-        pm = (1 + a0[0:8, :] + a1[0:8, :] + a0[1:9, :] + a1[1:9, :]) >> 2
-        hxb = chxl > 0
-        hyb = chyl > 0
-        p = jnp.where(hyb & hxb, pm,
-                      jnp.where(hxb, ph, jnp.where(hyb, pv_, p00)))
-        return jnp.where(interl > 0, p, jnp.int32(128))
-
     wu = jnp.concatenate([p0u_ref[...], p1u_ref[...]], axis=0)  # (16, WT)
     wv = jnp.concatenate([p0v_ref[...], p1v_ref[...]], axis=0)
-    pu_ref[...] = predict(wu)
-    pv_ref[...] = predict(wv)
+    pu_ref[...] = _chroma_predict(ur, wt, cfxl, cfyl, chxl, chyl, interl, wu)
+    pv_ref[...] = _chroma_predict(ur, wt, cfxl, cfyl, chxl, chyl, interl, wv)
 
 
 def chroma_pred_pallas(prev_u: jnp.ndarray, prev_v: jnp.ndarray,

@@ -130,6 +130,8 @@ def _compile_with_demotion(build, probe_inputs, demote):
         return build()
     last = None
     for impls, label in ((None, "all production kernels"),
+                         (("auto", "auto", "auto", "split"),
+                          "ME luma/chroma kernels split"),
                          (("xla", "auto", "auto", "auto"),
                           "transform kernel disabled"),
                          (("xla", "xla", "xla", "auto"),

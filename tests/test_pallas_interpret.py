@@ -52,9 +52,11 @@ def _frames(w, h, n, seed):
 
 
 @pytest.mark.parametrize("vl", [1, 3])
-def test_interpreted_me_kernel_matches_xla(interpret_kernels, vl):
-    """Fused ME + chroma kernels (interpret) vs the XLA formulation, I and P
-    frames, at the default and the smallest search range."""
+@pytest.mark.parametrize("impl", ["fused", "split"])
+def test_interpreted_me_kernel_matches_xla(interpret_kernels, vl, impl):
+    """ME + chroma kernels (interpret) vs the XLA formulation, I and P
+    frames, at the default and the smallest search range - both the
+    one-launch fused kernel and the split luma/chroma pair."""
     yr, ur = 2 * vl, vl
     w, h = 96, 64
     (y0, u0, v0), (y1, u1, v1) = _frames(w, h, 2, 31 + vl)
@@ -63,9 +65,14 @@ def test_interpreted_me_kernel_matches_xla(interpret_kernels, vl):
     pu = jnp.asarray(u0[::2, ::2])
     pv = jnp.asarray(v0[::2, ::2])
 
-    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
-        jnp.asarray(y1), prev[0], jnp.asarray(False), yr)
-    pred_u, pred_v = k_me.chroma_pred_pallas(pu, pv, inter, mvx, mvy, ur)
+    if impl == "fused":
+        inter, mvx, mvy, pred_y, pred_u, pred_v = \
+            k_me.motion_estimate_fused_pallas(
+                jnp.asarray(y1), prev[0], pu, pv, jnp.asarray(False), yr, ur)
+    else:
+        inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+            jnp.asarray(y1), prev[0], jnp.asarray(False), yr)
+        pred_u, pred_v = k_me.chroma_pred_pallas(pu, pv, inter, mvx, mvy, ur)
 
     want = motion.estimate_and_predict_local(
         jnp.asarray(y1), jnp.pad(prev[0], ((8, 8), (0, 0))),
@@ -89,9 +96,8 @@ def test_interpreted_me_kernel_max_width_matches_xla(interpret_kernels):
     y0 = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
     u0 = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
     v0 = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
-    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
-        y1, y0, jnp.asarray(False), yr)
-    pu, pv = k_me.chroma_pred_pallas(u0, v0, inter, mvx, mvy, ur)
+    inter, mvx, mvy, pred_y, pu, pv = k_me.motion_estimate_fused_pallas(
+        y1, y0, u0, v0, jnp.asarray(False), yr, ur)
     want = motion._estimate_and_predict_local_xla(
         y1, jnp.pad(y0, ((8, 8), (0, 0))), jnp.pad(u0, ((4, 4), (0, 0))),
         jnp.pad(v0, ((4, 4), (0, 0))), jnp.asarray(False), yr, ur,
@@ -124,11 +130,11 @@ def test_interpreted_me_kernel_banded_halo_matches_xla(interpret_kernels):
     pu_h = pu[8 * r0 - 4:8 * r1 + 4]
     pv_h = pv[8 * r0 - 4:8 * r1 + 4]
 
-    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
-        cur_b, py_h, jnp.asarray(False), yr,
-        first_mb_row=jnp.int32(r0), total_mb_rows=jnp.int32(nby), halo=True)
-    pred_u, pred_v = k_me.chroma_pred_pallas(pu_h, pv_h, inter, mvx, mvy,
-                                             ur, halo=True)
+    inter, mvx, mvy, pred_y, pred_u, pred_v = \
+        k_me.motion_estimate_fused_pallas(
+            cur_b, py_h, pu_h, pv_h, jnp.asarray(False), yr, ur,
+            first_mb_row=jnp.int32(r0), total_mb_rows=jnp.int32(nby),
+            halo=True)
 
     want = motion._estimate_and_predict_local_xla(
         cur_b, py_h, pu_h, pv_h, jnp.asarray(False), yr, ur,

@@ -61,14 +61,19 @@ def _frames(w, h, n, seed):
              v[2 * i:2 * i + h, 3 * i:3 * i + w].copy()) for i in range(n)]
 
 
-def _me_case(w, h, yr, ur, seed):
+def _me_case(w, h, yr, ur, seed, split=False):
     (y0, u0, v0), (y1, _, _) = _frames(w, h, 2, seed)
     prev_y = jnp.asarray(y0)
     pu = jnp.asarray(u0[::2, ::2])
     pv = jnp.asarray(v0[::2, ::2])
-    inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
-        jnp.asarray(y1), prev_y, jnp.asarray(False), yr)
-    pred_u, pred_v = k_me.chroma_pred_pallas(pu, pv, inter, mvx, mvy, ur)
+    if split:
+        inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
+            jnp.asarray(y1), prev_y, jnp.asarray(False), yr)
+        pred_u, pred_v = k_me.chroma_pred_pallas(pu, pv, inter, mvx, mvy, ur)
+    else:
+        inter, mvx, mvy, pred_y, pred_u, pred_v = \
+            k_me.motion_estimate_fused_pallas(
+                jnp.asarray(y1), prev_y, pu, pv, jnp.asarray(False), yr, ur)
     want = motion._estimate_and_predict_local_xla(
         jnp.asarray(y1), jnp.pad(prev_y, ((8, 8), (0, 0))),
         jnp.pad(pu, ((4, 4), (0, 0))), jnp.pad(pv, ((4, 4), (0, 0))),
@@ -99,6 +104,11 @@ def main():
     check("me+chroma fused 352x96 (CIF fold)")(lambda: _me_case(352, 96, 6, 3, 11))
     check("me+chroma fused 2048x32 (nbx=128, G=1)")(
         lambda: _me_case(2048, 32, 6, 3, 5))
+    # the split pair is the demotion ladder's fallback rung - prove it lowers
+    check("me+chroma SPLIT pair 96x64 (ladder rung)")(
+        lambda: _me_case(96, 64, 6, 3, 31, split=True))
+    check("me+chroma SPLIT pair 2048x32 (ladder rung)")(
+        lambda: _me_case(2048, 32, 6, 3, 5, split=True))
 
     @check("me+chroma banded halo (sharded form)")
     def _():
@@ -111,11 +121,11 @@ def main():
         cur_b = jnp.asarray(y1[16 * r0:16 * r1])
         py_h = prev_y[16 * r0 - 8:16 * r1 + 8]
         pu_h, pv_h = pu[8 * r0 - 4:8 * r1 + 4], pv[8 * r0 - 4:8 * r1 + 4]
-        inter, mvx, mvy, pred_y = k_me.motion_estimate_pallas(
-            cur_b, py_h, jnp.asarray(False), yr,
-            first_mb_row=jnp.int32(r0), total_mb_rows=jnp.int32(nby), halo=True)
-        pred_u, pred_v = k_me.chroma_pred_pallas(pu_h, pv_h, inter, mvx, mvy,
-                                                 ur, halo=True)
+        inter, mvx, mvy, pred_y, pred_u, pred_v = \
+            k_me.motion_estimate_fused_pallas(
+                cur_b, py_h, pu_h, pv_h, jnp.asarray(False), yr, ur,
+                first_mb_row=jnp.int32(r0), total_mb_rows=jnp.int32(nby),
+                halo=True)
         want = motion._estimate_and_predict_local_xla(
             cur_b, py_h, pu_h, pv_h, jnp.asarray(False), yr, ur,
             jnp.int32(r0), jnp.int32(nby))
