@@ -229,3 +229,34 @@ def append_bitstring(seq: jnp.ndarray, seq_bits: jnp.ndarray,
     off = (seq_bits >> 5).astype(jnp.int32)
     region = jax.lax.dynamic_slice(seq, (off,), (c + 1,)) | sh
     return jax.lax.dynamic_update_slice(seq, region, (off,)), seq_bits + b_bits
+
+
+def append_bitstrings_batched(seq: jnp.ndarray, seq_bits: jnp.ndarray,
+                              b: jnp.ndarray, b_bits: jnp.ndarray,
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched append_bitstring: seq (B, cap), seq_bits (B,), b (B, C),
+    b_bits (B,) -> per-stream independent appends.
+
+    NOT vmap(append_bitstring): vmapping turns the scalar dynamic slices into
+    gather/scatter (per-row dynamic offsets), which serialise on TPU at
+    ~ns/element - for a 1 MB frame payload that is tens of ms per scan step,
+    dwarfing the encode itself (the round-2 "8-stream batching tax").  Here
+    the funnel shift vectorises over the batch and the placement runs as B
+    STATIC-row dynamic_update_slice ops, each touching only C+1 words -
+    the exact single-stream fast path, B times."""
+    nb, cap = seq.shape
+    if b.shape[-1] >= cap:                   # degenerate sizing, as unbatched
+        b = b[:, :max(cap - 1, 1)]
+    c = b.shape[-1]
+    s = (seq_bits & 31).astype(jnp.uint32)[:, None]           # (B, 1)
+    z1 = jnp.zeros((nb, 1), jnp.uint32)
+    bpad = jnp.concatenate([b, z1], axis=1)                   # (B, C+1)
+    prev = jnp.concatenate([z1, b], axis=1)
+    sh = jnp.where(s > 0, (bpad >> s) | (prev << ((32 - s) & 31)), bpad)
+    off = (seq_bits >> 5).astype(jnp.int32)                   # (B,)
+    for bi in range(nb):
+        region = jax.lax.dynamic_slice(
+            seq, (jnp.int32(bi), off[bi]), (1, c + 1)) | sh[bi:bi + 1]
+        seq = jax.lax.dynamic_update_slice(
+            seq, region, (jnp.int32(bi), off[bi]))
+    return seq, seq_bits + b_bits

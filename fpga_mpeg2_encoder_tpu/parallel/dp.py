@@ -24,10 +24,9 @@ from ..models.encoder import (
     DEFAULT_FRAME_CAP,
     DEFAULT_ROW_CAP,
     encode_frame_core,
-    encode_gop_scan_core,
     words_to_bytes,
 )
-from ..ops import entropy
+from ..ops import bitpack, entropy
 from .mesh import make_mesh, stream_sharding
 
 
@@ -61,11 +60,44 @@ def encode_gops_batched(
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
     budget_bps: int = DEFAULT_BUDGET_BPS,
 ):
-    f = functools.partial(encode_gop_scan_core, yr=yr, ur=ur, q_level=q_level,
-                          row_cap=row_cap, frame_cap=frame_cap, seq_cap=seq_cap,
-                          budget_bps=budget_bps)
-    return jax.vmap(f)(frames_y, frames_u, frames_v, prev_y, prev_u, prev_v,
-                       i_frame0, frame_no0, pframes_count)
+    """Batched device-resident multi-frame encode: lax.scan over frames of a
+    vmapped per-frame step, with the per-stream payload appends OUTSIDE the
+    vmap (bitpack.append_bitstrings_batched).
+
+    This is deliberately NOT vmap(encode_gop_scan_core): under vmap the
+    sequence-append's dynamic slices become gather/scatter over the (B,
+    seq_cap) buffer with per-stream offsets, which serialise on TPU - the
+    prime suspect for the round-2 8-stream batching tax (aggregate 344.8 vs
+    421-428 single-stream, BENCH_CONFIGS_r02).  The scan-of-vmap form keeps
+    every per-frame stage batched (pallas kernels get a leading grid axis)
+    and does the B appends as static-row scalar-offset slice updates.
+
+    Outputs match the previous vmapped form exactly: frame_bits/frame_ifs
+    come back as (B, F)."""
+    nb, f = frames_y.shape[:2]
+    fenc = jax.vmap(functools.partial(
+        encode_frame_core, yr=yr, ur=ur, q_level=q_level, row_cap=row_cap,
+        frame_cap=frame_cap, budget_bps=budget_bps))
+
+    def body(carry, t):
+        py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
+        yy = jax.lax.dynamic_index_in_dim(frames_y, t, axis=1, keepdims=False)
+        uu = jax.lax.dynamic_index_in_dim(frames_u, t, axis=1, keepdims=False)
+        vv = jax.lax.dynamic_index_in_dim(frames_v, t, axis=1, keepdims=False)
+        ry, ru, rv, fw, fb, o = fenc(yy, uu, vv, py, pu, pv, i_f, fno)
+        seq_w, seq_b = bitpack.append_bitstrings_batched(seq_w, seq_b, fw, fb)
+        i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
+        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
+
+    seq_w0 = jnp.zeros((nb, seq_cap), jnp.uint32)
+    carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.zeros((nb,), jnp.int32),
+              i_frame0, frame_no0, jnp.zeros((nb,), jnp.bool_))
+    carry, (frame_bits, frame_ifs) = jax.lax.scan(
+        body, carry0, jnp.arange(f, dtype=jnp.int32), length=f)
+    py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
+    ovf = ovf | (seq_b > 32 * seq_cap)
+    return (py, pu, pv, seq_w, seq_b, i_f, fno, ovf,
+            frame_bits.T, frame_ifs.T)
 
 
 class BatchEncoder:
