@@ -89,3 +89,35 @@ def test_append_bitstring_matches_bitwriter(rng):
     got = np.asarray(seq).astype(">u4").tobytes()[: len(bw_bytes)]
     assert int(seq_bits) == raw_bits
     assert got == bw_bytes
+
+
+def test_append_bitstrings_batched_matches_unbatched(rng):
+    """The scatter-free batched append must equal B independent scalar
+    appends for arbitrary per-stream offsets and word-boundary phases."""
+    B, cap, c = 5, 512, 64
+    seq = jnp.zeros((B, cap), jnp.uint32)
+    seq_bits = jnp.zeros((B,), jnp.int32)
+    refs = [(jnp.zeros((cap,), jnp.uint32), jnp.int32(0)) for _ in range(B)]
+    batched = jax.jit(bitpack.append_bitstrings_batched)
+    for step in range(6):
+        b = jnp.asarray(rng.integers(0, 1 << 32, (B, c), dtype=np.uint64)
+                        .astype(np.uint32))
+        nbits = rng.integers(1, 32 * c, (B,)).astype(np.int32)
+        # left-justify: zero bits past each stream's length
+        word = np.arange(c)[None, :]
+        full = word < (nbits[:, None] // 32)
+        part = word == (nbits[:, None] // 32)
+        rem = (nbits[:, None] % 32).astype(np.uint32)
+        mask = np.where(
+            full, np.uint32(0xFFFFFFFF),
+            np.where(part & (rem > 0),
+                     (np.uint32(0xFFFFFFFF) << (32 - rem)).astype(np.uint32),
+                     np.uint32(0)))
+        b = jnp.asarray(np.asarray(b) & mask)
+        seq, seq_bits = batched(seq, seq_bits, b, jnp.asarray(nbits))
+        for k in range(B):
+            refs[k] = bitpack.append_bitstring(refs[k][0], refs[k][1],
+                                               b[k], jnp.int32(nbits[k]))
+    for k in range(B):
+        assert int(seq_bits[k]) == int(refs[k][1]), k
+        assert (np.asarray(seq)[k] == np.asarray(refs[k][0])).all(), k
