@@ -29,7 +29,8 @@ from fpga_mpeg2_encoder_tpu.ops import bitpack, colorspace, entropy, motion
 W, H = 1920, 1152
 NF = int(os.environ.get("PROF_NF", "12"))
 B = int(os.environ.get("PROF_B", "8"))
-STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full")
+STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full",
+          "full_vmapped_append")
 
 
 def frame_through(stage, yy, uu, vv, pyy, puu, pvv, i_f, fno):
@@ -88,9 +89,15 @@ def make_run(stage, b):
         pyy, puu, pvv, sw, sb, i_f, fno = carry
         out = vframe(*xs, pyy, puu, pvv, i_f, fno)
         if stage == "full":
+            # production form: scatter-free batched append (unrolled
+            # static-row slice updates, bitpack.append_bitstrings_batched)
             ry, ru, rv, (fwd, fb) = out
-            sw, sb = jax.vmap(lambda a, ab, c, cb: bitpack.concat_bitstrings(
-                a, ab, c, cb, 2097152))(sw, sb, fwd, fb)
+            sw, sb = bitpack.append_bitstrings_batched(sw, sb, fwd, fb)
+        elif stage == "full_vmapped_append":
+            # the pre-r04 form: vmapped scalar append -> per-row dynamic
+            # offsets become gather/scatter; this row quantifies that tax
+            ry, ru, rv, (fwd, fb) = out
+            sw, sb = jax.vmap(bitpack.append_bitstring)(sw, sb, fwd, fb)
         else:
             ry, ru, rv, chk = out
             sb = sb + chk.astype(jnp.int32)
