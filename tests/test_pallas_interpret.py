@@ -396,3 +396,66 @@ def test_interpreted_full_frame_stream_matches_xla(interpret_kernels):
     for fi, ((pw, pb), (xw, xb)) in enumerate(zip(got, want)):
         assert pb == xb, f"frame {fi}: bit counts differ"
         assert (pw == xw).all(), f"frame {fi}: payload differs"
+
+
+def test_interpreted_2d_mesh_runs_production_kernels(interpret_kernels):
+    """The 2-D stream x slice composition with ALL production kernels forced
+    on (via the interpreter): every stream's payload byte-identical to the
+    single-chip XLA encode - the exact kernels-under-shard_map-under-vmap
+    seams the production 2-D scale-out layout uses."""
+    import functools
+
+    from fpga_mpeg2_encoder_tpu.models.encoder import encode_frame_core
+    from fpga_mpeg2_encoder_tpu.parallel.mesh import make_mesh2d
+    from fpga_mpeg2_encoder_tpu.parallel.spatial import (
+        make_sharded_batch_encoder, sharded_batch_shardings)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 4+ device CPU mesh")
+    mesh = make_mesh2d(2, 2)
+    B, h, w = 2, 64, 96
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384)
+
+    # reference: single-chip XLA path, per stream
+    motion._ME_IMPL = "xla"
+    entropy._ACSYM_IMPL = "xla"
+    bitpack._PACK_IMPL = "xla"
+    M._TRANSFORM_IMPL = "xla"
+    fref = jax.jit(functools.partial(encode_frame_core, **kw))
+    videos = [_frames(w, h, 1, 81 + b)[0] for b in range(B)]
+    i_f = np.asarray([0, 1], np.int32)       # different GOP phases
+    want = []
+    for b in range(B):
+        y, u, v = videos[b]
+        out = fref(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                   jnp.zeros((h, w), jnp.uint8),
+                   jnp.zeros((h // 2, w // 2), jnp.uint8),
+                   jnp.zeros((h // 2, w // 2), jnp.uint8),
+                   jnp.int32(i_f[b]), jnp.int32(0))
+        assert not bool(out[5])
+        want.append((np.asarray(out[3])[: (int(out[4]) + 31) // 32],
+                     int(out[4])))
+
+    # 2-D mesh with production kernels (interpreter)
+    motion._ME_IMPL = "fused"
+    entropy._ACSYM_IMPL = "pallas"
+    bitpack._PACK_IMPL = "pallas"
+    M._TRANSFORM_IMPL = "pallas"
+    enc = make_sharded_batch_encoder(mesh, B, h, w, **kw)
+    plane_sh, scalar_sh = sharded_batch_shardings(mesh)
+    yb = np.stack([videos[b][0] for b in range(B)])
+    ub = np.stack([videos[b][1] for b in range(B)])
+    vb = np.stack([videos[b][2] for b in range(B)])
+    out = enc(jax.device_put(yb, plane_sh), jax.device_put(ub, plane_sh),
+              jax.device_put(vb, plane_sh),
+              jax.device_put(np.zeros((B, h, w), np.uint8), plane_sh),
+              jax.device_put(np.zeros((B, h // 2, w // 2), np.uint8), plane_sh),
+              jax.device_put(np.zeros((B, h // 2, w // 2), np.uint8), plane_sh),
+              jax.device_put(i_f, scalar_sh),
+              jax.device_put(np.zeros(B, np.int32), scalar_sh))
+    assert not bool(np.asarray(out[5]).any())
+    for b in range(B):
+        wfw, wfb = want[b]
+        assert int(np.asarray(out[4])[b]) == wfb, f"stream {b}: bit count"
+        assert (np.asarray(out[3])[b, :len(wfw)] == wfw).all(), \
+            f"stream {b}: payload differs"
