@@ -195,7 +195,19 @@ def merge_rows(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
     """Concatenate R left-justified bit-strings (rows) into one: (R, C) -> (cap,).
 
     Used for slice rows -> frame payload and frame payloads -> sequence payload;
-    rows are byte-aligned by the caller so start-code alignment is preserved."""
+    rows are byte-aligned by the caller so start-code alignment is preserved.
+
+    On TPU, geometries whose merge tree fits VMEM take the single-kernel
+    Pallas form (ops/pallas/pack.py merge_rows_pallas - one launch instead of
+    ~log2(R) * log2(W) small XLA ops, the small-frame launch floor); wide
+    frames and the worst-case retry caps use this XLA tree."""
+    if words.ndim == 2 and words.shape[-1] % 128 == 0 and words.shape[0] > 1 \
+            and (_PACK_IMPL == "pallas"
+                 or (_PACK_IMPL == "auto"
+                     and jax.default_backend() == "tpu")):
+        from .pallas.pack import merge_fits_vmem, merge_rows_pallas
+        if merge_fits_vmem(words.shape, cap_words):
+            return merge_rows_pallas(words, bits, cap_words)
     buf, bl = words, bits
     while buf.shape[-2] > 1:
         m = buf.shape[-2]

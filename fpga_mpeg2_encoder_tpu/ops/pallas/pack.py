@@ -292,5 +292,129 @@ def pack_slots_pallas(slots: jnp.ndarray, cap_words: int,
     return out, (row_bits + 7) & ~7, ovf
 
 
+def _merge_rows_kernel(r2: int, widths, buf_ref, bl_ref, out_ref):
+    """Whole-frame row merge in VMEM: buf (1, R2, C) byte-aligned row
+    bit-strings (bit-reversed row order), bl (1, R2) their bit lengths ->
+    out (1, W_final) the in-order concatenation.  Same halves pairing and
+    lane-roll word barrel as _phase2_kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    buf = buf_ref[...]                        # (1, R2, C) uint32
+    bl = bl_ref[...]                          # (1, R2) int32
+    n, w = r2, buf.shape[2]
+    level = 0
+    while n > 1:
+        m = n // 2
+        level += 1
+        w_new = widths[level - 1]
+        if n > 8:
+            a = _pad_axis(buf[:, :m, :], w_new, 2)
+            b = _pad_axis(buf[:, m:n, :], w_new, 2)
+            la, lb = bl[:, :m], bl[:, m:n]
+        else:
+            # sub-8 sublane slices create layout offsets Mosaic's concat
+            # rejects; keep all 8 sublanes and pair node i with i+m by a
+            # cyclic roll (nodes >= m compute garbage that is never read)
+            a = _pad_axis(buf, w_new, 2)
+            b = _pad_axis(pltpu.roll(buf, shift=buf.shape[1] - m, axis=1),
+                          w_new, 2)
+            la = bl
+            lb = pltpu.roll(bl, shift=bl.shape[1] - m, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_new), 2)
+        s = (la & 31).astype(jnp.uint32)[..., None]
+        pos = s > 0
+        prev = jnp.where(lane >= 1, pltpu.roll(b, shift=1, axis=2),
+                         jnp.uint32(0))
+        b = jnp.where(pos, (b >> s) | jnp.where(pos, prev << ((32 - s) & 31),
+                                                jnp.uint32(0)), b)
+        t = (la >> 5)[..., None]
+        j = 0
+        while (1 << j) <= w:
+            sh = 1 << j
+            shifted = jnp.where(lane >= sh, pltpu.roll(b, shift=sh, axis=2),
+                                jnp.uint32(0))
+            b = jnp.where(((t >> j) & 1) > 0, shifted, b)
+            j += 1
+        buf = a | b
+        bl = la + lb
+        n, w = m, w_new
+    out_ref[...] = buf[:, 0, :]               # (1, W_final)
+
+
+def _bit_reverse_rows(x: jnp.ndarray, r2: int) -> jnp.ndarray:
+    """Bit-reverse the leading (row) index, as reshape + transpose."""
+    nbits = r2.bit_length() - 1
+    rest = x.shape[1:]
+    perm = tuple(range(nbits - 1, -1, -1)) \
+        + tuple(range(nbits, nbits + len(rest)))
+    return x.reshape((2,) * nbits + rest).transpose(perm) \
+        .reshape((r2,) + rest)
+
+
+def merge_fits_vmem(shape, cap_words: int) -> bool:
+    """Conservative VMEM gate for merge_rows_pallas: the level-1 working set
+    (~3 buffers of r2 x c words) plus the capped output must fit well under
+    the 16 MB budget.  Wide frames (1080p at row_cap 4096) fall back to the
+    XLA tree, where the merge is a small fraction of frame time anyway - the
+    kernel targets small geometries, where ~100 tiny XLA launches per frame
+    dominate the merge."""
+    r, c = shape
+    r2 = max(16, 1 << (max(r, 2) - 1).bit_length())
+    cap128 = -(-cap_words // 128) * 128
+    return 12 * r2 * c + 8 * cap128 <= 8 * (1 << 20)
+
+
+def merge_rows_pallas(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas implementation of bitpack.merge_rows for 2-D row grids:
+    (R, C) byte-aligned rows -> ((cap_words,) words, () bits).
+
+    The XLA tree runs log2(R) concat levels of log2(W) barrel steps as
+    individual HBM-level XLA ops (~100+ launches per frame - over half the
+    frame budget at CIF); here the whole tree is ONE kernel, HBM touched once
+    to read the rows and once to write the payload.  Bit-identical to the XLA
+    tree (rows are exact-length bit-strings; widths are worst-case, never
+    budget-capped, so no overflow semantics differ; content past cap_words is
+    truncated identically - callers detect via the returned bit count)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, c = words.shape
+    r2 = max(16, 1 << (max(r, 2) - 1).bit_length())
+    cap128 = -(-cap_words // 128) * 128
+    nlev = r2.bit_length() - 1
+    widths, w = [], c
+    for _ in range(nlev):
+        w = min(2 * w, cap128)
+        widths.append(w)
+    widths = tuple(widths)
+    w_final = widths[-1]
+
+    wb = _bit_reverse_rows(
+        jnp.pad(words.astype(jnp.uint32), ((0, r2 - r), (0, 0))), r2)
+    lb = _bit_reverse_rows(
+        jnp.pad(bits.astype(jnp.int32), (0, r2 - r))[:, None], r2)[:, 0]
+
+    out = pl.pallas_call(
+        functools.partial(_merge_rows_kernel, r2, widths),
+        in_specs=[
+            pl.BlockSpec((1, r2, c), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r2), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w_final), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, w_final), jnp.uint32),
+        interpret=_INTERPRET,
+    )(wb[None], lb[None])
+
+    payload = out[0]
+    if w_final < cap_words:
+        payload = jnp.pad(payload, (0, cap_words - w_final))
+    elif w_final > cap_words:
+        payload = payload[:cap_words]
+    return payload, bits.sum().astype(jnp.int32)
+
+
 def supported() -> bool:
     return jax.default_backend() == "tpu"

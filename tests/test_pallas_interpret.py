@@ -459,3 +459,33 @@ def test_interpreted_2d_mesh_runs_production_kernels(interpret_kernels):
         assert int(np.asarray(out[4])[b]) == wfb, f"stream {b}: bit count"
         assert (np.asarray(out[3])[b, :len(wfw)] == wfw).all(), \
             f"stream {b}: payload differs"
+
+
+@pytest.mark.parametrize("r,c,cap", [
+    (20, 128, 1024),      # CIF-like: 18 slice rows + headers
+    (5, 256, 512),        # tiny frame, odd row count, sub-16 rows
+    (33, 128, 8192),      # crosses the 32-row pow2 boundary
+])
+def test_interpreted_merge_rows_kernel_matches_xla(interpret_kernels,
+                                                   r, c, cap):
+    """Single-kernel VMEM row merge vs the XLA concat tree: byte-aligned
+    random rows, identical payload words and bit count."""
+    from fpga_mpeg2_encoder_tpu.ops.pallas.pack import merge_rows_pallas
+
+    rng = np.random.default_rng(100 + r)
+    bits = (rng.integers(0, c * 24 // 8, (r,)) * 8).astype(np.int32)
+    words = np.zeros((r, c), np.uint32)
+    for k in range(r):
+        nw = (int(bits[k]) + 31) // 32
+        w = rng.integers(0, 1 << 32, nw, dtype=np.uint64).astype(np.uint32)
+        rem = int(bits[k]) % 32
+        if nw and rem:
+            w[-1] &= np.uint32((0xFFFFFFFF << (32 - rem)) & 0xFFFFFFFF)
+        words[k, :nw] = w
+    got_w, got_b = merge_rows_pallas(jnp.asarray(words), jnp.asarray(bits),
+                                     cap)
+    bitpack._PACK_IMPL = "xla"
+    want_w, want_b = bitpack.merge_rows(jnp.asarray(words), jnp.asarray(bits),
+                                        cap)
+    assert int(got_b) == int(want_b)
+    assert (np.asarray(got_w) == np.asarray(want_w)).all()

@@ -202,6 +202,36 @@ def main():
             entropy._ACSYM_IMPL = saved
         assert (got == want).all()
 
+    for (r, c, cap) in ((20, 1024, 32768), (38, 2048, 65536)):
+        @check(f"merge-rows kernel R={r} C={c}")
+        def _(r=r, c=c, cap=cap):
+            from fpga_mpeg2_encoder_tpu.ops.pallas.pack import (
+                merge_fits_vmem, merge_rows_pallas)
+            assert merge_fits_vmem((r, c), cap)
+            rng = np.random.default_rng(50 + r)
+            bits = (rng.integers(0, c * 24 // 8, (r,)) * 8).astype(np.int32)
+            words = np.zeros((r, c), np.uint32)
+            for k in range(r):
+                nw = (int(bits[k]) + 31) // 32
+                w_ = rng.integers(0, 1 << 32, nw, dtype=np.uint64) \
+                    .astype(np.uint32)
+                rem = int(bits[k]) % 32
+                if nw and rem:
+                    w_[-1] &= np.uint32((0xFFFFFFFF << (32 - rem))
+                                        & 0xFFFFFFFF)
+                words[k, :nw] = w_
+            gw, gb = merge_rows_pallas(jnp.asarray(words), jnp.asarray(bits),
+                                       cap)
+            saved = bitpack._PACK_IMPL
+            try:
+                bitpack._PACK_IMPL = "xla"
+                ww, wb = bitpack.merge_rows(jnp.asarray(words),
+                                            jnp.asarray(bits), cap)
+            finally:
+                bitpack._PACK_IMPL = saved
+            assert int(gb) == int(wb)
+            assert (np.asarray(gw) == np.asarray(ww)).all()
+
     @check("pack kernel pair")
     def _():
         rng = np.random.default_rng(9)
