@@ -5,13 +5,19 @@
 set -u
 cd /root/repo
 mkdir -p /tmp/tpu_reval
+# persistent XLA compilation cache: kernel compiles are 1-3 min each and the
+# playbook spans many processes; the disk cache makes every later step
+# warm-start (first full pass still pays compiles once).
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 echo "== backend probe =="
 timeout 180 python -c "import jax; print(jax.devices())" || {
   echo "TPU backend unreachable; aborting"; exit 1; }
 
 echo "== per-kernel Mosaic lowering smoke =="
-timeout 900 python tools/tpu_smoke.py \
+timeout 2400 python tools/tpu_smoke.py \
   2>&1 | tee /tmp/tpu_reval/smoke.log | tail -20
 
 echo "== on-chip exactness (8 tests) =="
