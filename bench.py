@@ -109,6 +109,10 @@ def make_filmic_frames(w, h, n, seed=7):
 
 
 def main():
+    # persistent XLA compile cache: kernel compiles are 1-5 min cold on this
+    # rig; warm-starting them keeps the bench inside the driver's timeout
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     probe_backend()
     import jax
     if os.environ.get("FPGA_MPEG2_BENCH_BACKEND") == "cpu":

@@ -220,7 +220,11 @@ def encode_gop_scan_core(
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
         return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
 
-    seq_w0 = jnp.zeros((seq_cap,), jnp.uint32)
+    # guard margin per the append_bitstring sizing contract: the frame-payload
+    # width is at most frame_cap words (the Pallas merge pads to exactly that),
+    # so seq_cap + frame_cap + 1 words guarantee the append window always fits;
+    # overflow is still checked against the logical seq_cap below
+    seq_w0 = jnp.zeros((seq_cap + frame_cap + 1,), jnp.uint32)
     carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.int32(0),
               i_frame0, frame_no0, jnp.asarray(False))
     carry, (frame_bits, frame_ifs) = jax.lax.scan(

@@ -228,12 +228,26 @@ def append_bitstring(seq: jnp.ndarray, seq_bits: jnp.ndarray,
 
     Unlike concat_bitstrings (whose word barrel costs O(cap * log cap) - fine
     inside the merge tree, ruinous for a per-frame sequence append), this
-    touches only C+1 words.  If the append would run past the buffer,
-    dynamic_slice clamps and the content is wrong - callers detect that case
-    via seq_bits and re-encode (the overflow-retry contract)."""
-    if b.shape[-1] >= seq.shape[-1]:         # degenerate sizing: the slice
-        b = b[:max(seq.shape[-1] - 1, 1)]    # below must fit; dropped content
-    c = b.shape[-1]                          # is caught by the overflow check
+    touches only C+1 words.
+
+    SIZING CONTRACT: the accumulator must be at least C+1 words LARGER than
+    the logical capacity checked for overflow, i.e. allocate
+    ``seq_cap + C + 1`` words and check ``seq_bits > 32 * seq_cap``.  The
+    C+1-word slice window can then sit at any in-range offset; only a
+    genuinely overflowing append (off > seq_cap words, which the check
+    flags) hits dynamic_slice's offset clamp and corrupts the (discarded)
+    content.  Without the margin the clamp bites BELOW the overflow
+    threshold - in the worst case (C + 1 == buffer width) every append
+    lands at word 0 and the corruption is silent (the r04 on-chip
+    chunked-vs-streaming divergence: the Pallas merge pads frame payloads
+    to exactly frame_cap words, and push_chunk sized seq_cap == frame_cap)
+    - so undersized accumulators are rejected at trace time."""
+    if b.shape[-1] + 1 > seq.shape[-1]:
+        raise ValueError(
+            f"append_bitstring accumulator ({seq.shape[-1]} words) must "
+            f"exceed the appended width + 1 ({b.shape[-1]} + 1); allocate "
+            f"seq_cap + C + 1 words (see sizing contract)")
+    c = b.shape[-1]
     s = (seq_bits & 31).astype(jnp.uint32)
     bpad = jnp.concatenate([b, jnp.zeros((1,), jnp.uint32)])
     prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), b])
@@ -255,10 +269,16 @@ def append_bitstrings_batched(seq: jnp.ndarray, seq_bits: jnp.ndarray,
     dwarfing the encode itself (the round-2 "8-stream batching tax").  Here
     the funnel shift vectorises over the batch and the placement runs as B
     STATIC-row dynamic_update_slice ops, each touching only C+1 words -
-    the exact single-stream fast path, B times."""
+    the exact single-stream fast path, B times.
+
+    Same sizing contract as append_bitstring: allocate seq_cap + C + 1
+    words per stream, check seq_bits > 32 * seq_cap."""
     nb, cap = seq.shape
-    if b.shape[-1] >= cap:                   # degenerate sizing, as unbatched
-        b = b[:, :max(cap - 1, 1)]
+    if b.shape[-1] + 1 > cap:
+        raise ValueError(
+            f"append_bitstrings_batched accumulator ({cap} words) must "
+            f"exceed the appended width + 1 ({b.shape[-1]} + 1); allocate "
+            f"seq_cap + C + 1 words (see append_bitstring sizing contract)")
     c = b.shape[-1]
     s = (seq_bits & 31).astype(jnp.uint32)[:, None]           # (B, 1)
     z1 = jnp.zeros((nb, 1), jnp.uint32)

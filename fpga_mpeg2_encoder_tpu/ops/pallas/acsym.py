@@ -141,7 +141,18 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
 
     # ---- slot routing: monotone carry-the-remainder lane barrel -------------
     # source lane sl = (mb*6 + t)*64 + z must move RIGHT by
-    # off = HDR_SLOTS + 4 + 10*mb + t lanes (monotone in sl -> collision-free)
+    # off = HDR_SLOTS + 4 + 10*mb + t lanes (monotone in sl -> collision-free:
+    # intermediate positions src + (off with only bits >= stage applied) are
+    # strictly increasing in src, so no two LIVE copies ever share a lane).
+    #
+    # Liveness gating is essential: when a copy moves y -> y+k, lane y still
+    # HOLDS the old (data, rem) pair, and that stale duplicate would later
+    # creep along rem's low bits and overwrite a correct destination.  The
+    # bug only manifests once some off crosses a power-of-2 boundary inside
+    # the grid (first at nbx = 26, off > 256), which is why narrow-frame
+    # tests passed while 720p/1080p/2048 corrupted (caught on-chip, r04).
+    # Each copy therefore carries a live flag: a take requires a LIVE source,
+    # and a source claimed by its right neighbour dies that stage.
     sl = jax.lax.broadcasted_iota(jnp.int32, (_RB, sp), 1)
     q = sl >> 6                                               # tile index
     mb = (q * m6) >> s6
@@ -151,6 +162,7 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
         [ac_ref[...],
          jnp.zeros((_RB, sp - width), jnp.uint32)], axis=1)   # (RB, SP)
     rem = off
+    live = (sl < width).astype(jnp.int32)
     kbit = 1
     while kbit <= 7 + 10 * (width // 384 - 1) + 5:
         kbit <<= 1
@@ -158,9 +170,12 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
     while kbit >= 1:
         dmoved = pltpu.roll(data, shift=kbit, axis=1)
         rmoved = pltpu.roll(rem, shift=kbit, axis=1)
-        take = (rmoved & kbit) > 0
+        lmoved = pltpu.roll(live, shift=kbit, axis=1)
+        take = ((rmoved & kbit) > 0) & (lmoved > 0)
+        claimed = ((rem & kbit) > 0) & (live > 0)
         data = jnp.where(take, dmoved, data)
         rem = jnp.where(take, rmoved - kbit, rem)
+        live = jnp.where(take, 1, jnp.where(claimed, 0, live))
         kbit >>= 1
 
     # ---- merge with the pre-packed non-AC slots -----------------------------
@@ -195,6 +210,15 @@ def ac_slot_grid_pallas(zmod: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
             _magic_div(SLOTS_PER_MB, sp),
             _magic_div(65, SLOTS_PER_MB))
 
+    # Mosaic's default scoped-VMEM cap (16 MB) is sized for double-buffered
+    # streaming kernels; this kernel's blocks + barrel temporaries legitimately
+    # peak at ~26 MB at 2048-wide (measured on-chip, r04), well inside the
+    # v5e core's physical VMEM.  Raise the cap instead of shrinking blocks:
+    # the routing barrel needs whole rows resident, so lane-splitting the grid
+    # is not an option.
+    params = {} if _INTERPRET else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     slots = pl.pallas_call(
         functools.partial(_kernel, width, nbx, sp, divs),
         grid=(rp // _RB,),
@@ -210,6 +234,7 @@ def ac_slot_grid_pallas(zmod: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((rp, sp), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((_RB, width), jnp.uint32)],
         interpret=_INTERPRET,
+        **params,
     )(_table_t(), z, sm)
     return slots[:nby, :s_out]
 

@@ -89,7 +89,9 @@ def encode_gops_batched(
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
         return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
 
-    seq_w0 = jnp.zeros((nb, seq_cap), jnp.uint32)
+    # guard margin per the append_bitstring sizing contract (frame payloads
+    # are at most frame_cap words wide; overflow still checked vs seq_cap)
+    seq_w0 = jnp.zeros((nb, seq_cap + frame_cap + 1), jnp.uint32)
     carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.zeros((nb,), jnp.int32),
               i_frame0, frame_no0, jnp.zeros((nb,), jnp.bool_))
     carry, (frame_bits, frame_ifs) = jax.lax.scan(

@@ -179,6 +179,36 @@ def test_interpreted_acsym_slot_grid_matches_xla(interpret_kernels):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("nbx", [26, 120, 128])
+def test_interpreted_acsym_wide_geometry_matches_xla(interpret_kernels, nbx):
+    """Regression for the r04 routing-barrel liveness bug: the slot-routing
+    barrel's stale duplicates only corrupt once some macroblock's lane
+    offset crosses a power-of-2 boundary - first at nbx = 26 (off > 256) -
+    so the narrow-frame tests above can never catch it.  Pins 1920-wide
+    (nbx = 120, the headline geometry) and max-width 2048 (nbx = 128)."""
+    rng = np.random.default_rng(11 + nbx)
+    nby = 2
+    zig = np.zeros((nby, nbx, 6, 64), np.int32)
+    mask = rng.random(zig.shape) < 0.15
+    zig[mask] = rng.integers(-60, 61, mask.sum())
+    inter = rng.random((nby, nbx)) < 0.6
+    mvx = rng.integers(-12, 13, (nby, nbx)).astype(np.int32)
+    mvy = rng.integers(-12, 13, (nby, nbx)).astype(np.int32)
+
+    def run():
+        fs = entropy.symbolize_frame(
+            jnp.asarray(zig), jnp.asarray(inter), jnp.asarray(mvx),
+            jnp.asarray(mvy), jnp.int32(1), jnp.int32(4), 2)
+        slots = np.asarray(fs.slots)
+        return np.where((slots >> 27) > 0, slots, 0)
+
+    entropy._ACSYM_IMPL = "pallas"
+    got = run()
+    entropy._ACSYM_IMPL = "xla"
+    want = run()
+    assert (got == want).all()
+
+
 @pytest.mark.parametrize("q_level", [2, 4])
 def test_interpreted_transform_kernel_matches_xla(interpret_kernels, q_level):
     """Fused strip-layout transform kernel (interpret) vs the coefficient-
@@ -354,6 +384,65 @@ def test_interpreted_chunked_scan_matches_xla(interpret_kernels):
     M._TRANSFORM_IMPL = "xla"
     want = run()
     assert got == want
+
+
+def test_interpreted_chunked_scan_tight_seq_cap_regression(interpret_kernels):
+    """Regression for the r04 on-chip chunked-vs-streaming divergence: the
+    Pallas merge pads every frame payload to exactly frame_cap words, and
+    with seq_cap == frame_cap (push_chunk's sizing for chunks < 8 frames)
+    the sequence append's dynamic-slice window equalled the whole
+    accumulator, so the offset clamped to 0 and every frame OR'd over frame
+    0 - silently (frame bit counts and recon were right).  The fix gives the
+    scan accumulator a frame_cap+1-word guard margin (append_bitstring
+    sizing contract).  This test pins the exact failing geometry: chunked
+    scan payload must equal the concatenation of per-frame payloads."""
+    w, h, nf = 96, 64, 4
+    rng = np.random.default_rng(5)
+    fy = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    fu = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    fv = jnp.asarray(rng.integers(0, 256, (nf, h, w)).astype(np.uint8))
+    py = jnp.zeros((h, w), jnp.uint8)
+    pc = jnp.zeros((h // 2, w // 2), jnp.uint8)
+    motion._ME_IMPL = "fused"
+    entropy._ACSYM_IMPL = "pallas"
+    bitpack._PACK_IMPL = "pallas"          # merge pads payloads to frame_cap
+    M._TRANSFORM_IMPL = "pallas"
+    M.encode_gop_scan.clear_cache()
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384)
+    out = M.encode_gop_scan(fy, fu, fv, py, pc, pc, jnp.int32(0),
+                            jnp.int32(0), jnp.int32(2), **kw,
+                            seq_cap=16384)  # == frame_cap: the failing sizing
+    assert not bool(out[7])
+    sb = int(out[4])
+    got = np.asarray(out[3]).astype(">u4").tobytes()[: (sb + 7) // 8]
+
+    f = jax.jit(functools_partial_encode_frame(kw))
+    prev, want = (py, pc, pc), b""
+    for fi in range(nf):
+        ry, ru, rv, fw, fb, ovf = f(fy[fi], fu[fi], fv[fi], *prev,
+                                    jnp.int32(fi % 3), jnp.int32(fi))
+        assert not bool(ovf)
+        want += np.asarray(fw).astype(">u4").tobytes()[: (int(fb) + 7) // 8]
+        prev = (ry, ru, rv)
+    assert got == want
+
+
+def functools_partial_encode_frame(kw):
+    import functools
+    return functools.partial(M.encode_frame_core, **kw)
+
+
+def test_append_bitstring_rejects_undersized_accumulator():
+    """The sizing contract is enforced at trace time: an accumulator not
+    strictly wider than the appended width + 1 corrupts silently under
+    dynamic-slice clamping, so it must raise instead."""
+    with pytest.raises(ValueError, match="sizing contract"):
+        bitpack.append_bitstring(jnp.zeros(64, jnp.uint32), jnp.int32(0),
+                                 jnp.zeros(64, jnp.uint32), jnp.int32(32))
+    with pytest.raises(ValueError, match="sizing contract"):
+        bitpack.append_bitstrings_batched(
+            jnp.zeros((2, 64), jnp.uint32), jnp.zeros(2, jnp.int32),
+            jnp.zeros((2, 64), jnp.uint32), jnp.zeros(2, jnp.int32))
 
 
 def test_interpreted_full_frame_stream_matches_xla(interpret_kernels):
