@@ -42,6 +42,21 @@ _INTERPRET = False
 
 _RB = 8  # rows per grid step (minor-dim sublanes in phase 1)
 
+# Mosaic's default scoped-VMEM cap (16 MB) is sized for double-buffered
+# streaming kernels; the merge trees keep whole rows resident plus barrel
+# temporaries, legitimately peaking above it at bench caps (measured ~27 MB
+# at (128, 4096) -> 256K words, r04) - well inside the v5e core's physical
+# VMEM.  merge_fits_vmem gates geometries against this cap.
+_VMEM_CAP = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    if _INTERPRET:
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_CAP))
+
 
 def _level_width(level: int, prev_w: int, cap_words: int,
                  budget_bps: int, budget_margin: int) -> Tuple[int, bool]:
@@ -259,6 +274,7 @@ def pack_slots_pallas(slots: jnp.ndarray, cap_words: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp // _RB, w1, _RB, 128), jnp.uint32),
         interpret=_INTERPRET,
+        **_compiler_params(),
     )(c)
 
     # node-major layout for phase 2: (rows, node, words)
@@ -282,6 +298,7 @@ def pack_slots_pallas(slots: jnp.ndarray, cap_words: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, w_final), jnp.uint32),
         interpret=_INTERPRET,
+        **_compiler_params(),
     )(buf_t, pl9)
 
     out = rows[:r]
@@ -352,16 +369,18 @@ def _bit_reverse_rows(x: jnp.ndarray, r2: int) -> jnp.ndarray:
 
 
 def merge_fits_vmem(shape, cap_words: int) -> bool:
-    """Conservative VMEM gate for merge_rows_pallas: the level-1 working set
-    (~3 buffers of r2 x c words) plus the capped output must fit well under
-    the 16 MB budget.  Wide frames (1080p at row_cap 4096) fall back to the
-    XLA tree, where the merge is a small fraction of frame time anyway - the
-    kernel targets small geometries, where ~100 tiny XLA launches per frame
+    """VMEM gate for merge_rows_pallas, calibrated on-chip (r04): Mosaic's
+    scoped stack peaks at ~3.2x this analytic working-set estimate (measured
+    26.9 MB for an 8.4 MB estimate at (128, 4096) -> 256K words), and the
+    kernels run with a 64 MB scoped cap (_VMEM_CAP), so the gate admits
+    estimates up to 20 MB.  Geometries beyond it fall back to the XLA tree,
+    where the merge is a small fraction of frame time anyway - the kernel
+    targets small geometries, where ~100 tiny XLA launches per frame
     dominate the merge."""
     r, c = shape
     r2 = max(16, 1 << (max(r, 2) - 1).bit_length())
     cap128 = -(-cap_words // 128) * 128
-    return 12 * r2 * c + 8 * cap128 <= 8 * (1 << 20)
+    return 12 * r2 * c + 8 * cap128 <= 20 * (1 << 20)
 
 
 def merge_rows_pallas(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
@@ -406,6 +425,7 @@ def merge_rows_pallas(words: jnp.ndarray, bits: jnp.ndarray, cap_words: int
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, w_final), jnp.uint32),
         interpret=_INTERPRET,
+        **_compiler_params(),
     )(wb[None], lb[None])
 
     payload = out[0]
