@@ -24,7 +24,12 @@ from bench import make_frames
 from fpga_mpeg2_encoder_tpu.models import encoder as M
 from fpga_mpeg2_encoder_tpu.ops import bitpack, colorspace, dct, entropy, motion
 
-W, H, NF = 1920, 1152, int(__import__("os").environ.get("PROF_NF", "12"))
+_env = __import__("os").environ
+W = int(_env.get("PROF_W", "1920"))
+H = int(_env.get("PROF_H", "1152"))
+NF = int(_env.get("PROF_NF", "12"))
+ROW_CAP = int(_env.get("PROF_ROW_CAP", "4096"))
+FRAME_CAP = int(_env.get("PROF_FRAME_CAP", "262144"))
 NBY, NBX = H // 16, W // 16
 STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full")
 
@@ -77,10 +82,10 @@ def make_scan(stage):
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
             return ry, ru, rv, fs.slots.astype(jnp.int32).sum()
-        rw, rb, _ = bitpack.pack_slots(fs.slots, 4096, budget_bps=8)
+        rw, rb, _ = bitpack.pack_slots(fs.slots, ROW_CAP, budget_bps=8)
         if stage == "pack":
             return ry, ru, rv, rw.astype(jnp.int32).sum() + rb.sum()
-        fwd, fb = bitpack.merge_rows(rw, rb, 262144)
+        fwd, fb = bitpack.merge_rows(rw, rb, FRAME_CAP)
         if stage == "merge":
             return ry, ru, rv, fwd.astype(jnp.int32).sum() + fb
         return ry, ru, rv, (fwd, fb)
