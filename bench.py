@@ -134,9 +134,13 @@ def main():
     py = jnp.zeros((h, w), jnp.uint8)
     pc = jnp.zeros((h // 2, w // 2), jnp.uint8)
     # the synthetic texture is entropy-heavy (~750 KB I-frames at q_level=2), so
-    # budget caps are sized for it: 16 KB/slice, 1 MB/frame, 8 MB for the GOP
+    # budget caps are sized for it: 16 KB/slice, 1 MB/frame, 8 MB for the GOP.
+    # FPGA_MPEG2_BENCH_UNROLL=k encodes k frames per scan step (bit-identical;
+    # overlaps one frame's entropy tail with the next frame's front) - for
+    # on-rig A/B; default 1 keeps the methodology comparable across rounds.
     kw = dict(yr=cfg.yr, ur=cfg.ur, q_level=cfg.q_level,
-              row_cap=4096, frame_cap=262144, seq_cap=8388608)
+              row_cap=4096, frame_cap=262144, seq_cap=8388608,
+              unroll=int(os.environ.get("FPGA_MPEG2_BENCH_UNROLL", "1")))
 
     def run(frames_y):
         return encode_gop_scan(frames_y, fu, fv, py, pc, pc, jnp.int32(0),

@@ -202,23 +202,52 @@ def encode_gop_scan_core(
     i_frame0: jnp.ndarray, frame_no0: jnp.ndarray,
     pframes_count: jnp.ndarray,
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
-    budget_bps: int = DEFAULT_BUDGET_BPS,
+    budget_bps: int = DEFAULT_BUDGET_BPS, unroll: int = 1,
 ):
     """Device-resident multi-frame encode: lax.scan over frames, accumulating the
     packed payload in one HBM buffer.  One upload of the frame stack, one download
-    of the payload - the host link is touched twice per chunk, not per frame."""
-    f = frames_y.shape[0]
+    of the payload - the host link is touched twice per chunk, not per frame.
 
-    def body(carry, xs):
+    ``unroll`` > 1 encodes that many frames per scan step (bit-identical: the
+    same per-frame ops in the same order).  Only the recon carry is sequential
+    across frames, so the XLA scheduler can overlap frame n's entropy/pack
+    tail with frame n+1's subsample/ME front - worth a few percent at small
+    geometries where per-step overhead dominates.  Falls back to 1 when the
+    frame count is not divisible."""
+    f = frames_y.shape[0]
+    if f % max(unroll, 1) != 0:
+        unroll = 1
+
+    def step(carry, yy, uu, vv):
         py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
-        yy, uu, vv = xs
         ry, ru, rv, fw, fb, o = encode_frame_core(
             yy, uu, vv, py, pu, pv, i_f, fno,
             yr=yr, ur=ur, q_level=q_level, row_cap=row_cap, frame_cap=frame_cap,
             budget_bps=budget_bps)
         seq_w, seq_b = bitpack.append_bitstring(seq_w, seq_b, fw, fb)
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
-        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
+        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), fb, i_f
+
+    if unroll <= 1:
+        def body(carry, xs):
+            carry, fb, i_f = step(carry, *xs)
+            return carry, (fb, i_f)
+        xs = (frames_y, frames_u, frames_v)
+        steps = f
+    else:
+        def body(carry, xs):
+            yy, uu, vv = xs
+            fbs, ifs = [], []
+            for k in range(unroll):
+                carry, fb, i_f = step(carry, yy[k], uu[k], vv[k])
+                fbs.append(fb)
+                ifs.append(i_f)
+            return carry, (jnp.stack(fbs), jnp.stack(ifs))
+        u_shape = (f // unroll, unroll)
+        xs = (frames_y.reshape(u_shape + frames_y.shape[1:]),
+              frames_u.reshape(u_shape + frames_u.shape[1:]),
+              frames_v.reshape(u_shape + frames_v.shape[1:]))
+        steps = f // unroll
 
     # guard margin per the append_bitstring sizing contract: the frame-payload
     # width is at most frame_cap words (the Pallas merge pads to exactly that),
@@ -227,8 +256,10 @@ def encode_gop_scan_core(
     seq_w0 = jnp.zeros((seq_cap + frame_cap + 1,), jnp.uint32)
     carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.int32(0),
               i_frame0, frame_no0, jnp.asarray(False))
-    carry, (frame_bits, frame_ifs) = jax.lax.scan(
-        body, carry0, (frames_y, frames_u, frames_v), length=f)
+    carry, (frame_bits, frame_ifs) = jax.lax.scan(body, carry0, xs, length=steps)
+    if unroll > 1:
+        frame_bits = frame_bits.reshape(f)
+        frame_ifs = frame_ifs.reshape(f)
     py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
     ovf = ovf | (seq_b > 32 * seq_cap)
     return py, pu, pv, seq_w, seq_b, i_f, fno, ovf, frame_bits, frame_ifs
@@ -237,7 +268,7 @@ def encode_gop_scan_core(
 encode_gop_scan = jax.jit(
     encode_gop_scan_core,
     static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap",
-                     "budget_bps"),
+                     "budget_bps", "unroll"),
 )
 
 

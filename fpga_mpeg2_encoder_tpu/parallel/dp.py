@@ -50,7 +50,7 @@ def encode_frames_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("yr", "ur", "q_level", "row_cap", "frame_cap", "seq_cap",
-                     "budget_bps"),
+                     "budget_bps", "unroll"),
 )
 def encode_gops_batched(
     frames_y, frames_u, frames_v,   # (B, F, H, W) uint8
@@ -58,7 +58,7 @@ def encode_gops_batched(
     i_frame0, frame_no0,            # (B,)
     pframes_count,                  # (B,)
     *, yr: int, ur: int, q_level: int, row_cap: int, frame_cap: int, seq_cap: int,
-    budget_bps: int = DEFAULT_BUDGET_BPS,
+    budget_bps: int = DEFAULT_BUDGET_BPS, unroll: int = 1,
 ):
     """Batched device-resident multi-frame encode: lax.scan over frames of a
     vmapped per-frame step, with the per-stream payload appends OUTSIDE the
@@ -72,14 +72,21 @@ def encode_gops_batched(
     every per-frame stage batched (pallas kernels get a leading grid axis)
     and does the B appends as static-row scalar-offset slice updates.
 
+    ``unroll`` encodes that many frames per scan step (bit-identical; see
+    encode_gop_scan_core) - lets XLA overlap one frame's entropy tail with
+    the next frame's subsample/ME front.  Falls back to 1 when the frame
+    count is not divisible.
+
     Outputs match the previous vmapped form exactly: frame_bits/frame_ifs
     come back as (B, F)."""
     nb, f = frames_y.shape[:2]
+    if f % max(unroll, 1) != 0:
+        unroll = 1
     fenc = jax.vmap(functools.partial(
         encode_frame_core, yr=yr, ur=ur, q_level=q_level, row_cap=row_cap,
         frame_cap=frame_cap, budget_bps=budget_bps))
 
-    def body(carry, t):
+    def step(carry, t):
         py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
         yy = jax.lax.dynamic_index_in_dim(frames_y, t, axis=1, keepdims=False)
         uu = jax.lax.dynamic_index_in_dim(frames_u, t, axis=1, keepdims=False)
@@ -87,7 +94,17 @@ def encode_gops_batched(
         ry, ru, rv, fw, fb, o = fenc(yy, uu, vv, py, pu, pv, i_f, fno)
         seq_w, seq_b = bitpack.append_bitstrings_batched(seq_w, seq_b, fw, fb)
         i_f_next = jnp.where(i_f >= pframes_count, 0, i_f + 1)
-        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), (fb, i_f)
+        return (ry, ru, rv, seq_w, seq_b, i_f_next, fno + 1, ovf | o), fb, i_f
+
+    def body(carry, t0):
+        fbs, ifs = [], []
+        for k in range(unroll):
+            carry, fb, i_f = step(carry, t0 + k)
+            fbs.append(fb)
+            ifs.append(i_f)
+        if unroll <= 1:
+            return carry, (fbs[0], ifs[0])
+        return carry, (jnp.stack(fbs), jnp.stack(ifs))
 
     # guard margin per the append_bitstring sizing contract (frame payloads
     # are at most frame_cap words wide; overflow still checked vs seq_cap)
@@ -95,7 +112,12 @@ def encode_gops_batched(
     carry0 = (prev_y, prev_u, prev_v, seq_w0, jnp.zeros((nb,), jnp.int32),
               i_frame0, frame_no0, jnp.zeros((nb,), jnp.bool_))
     carry, (frame_bits, frame_ifs) = jax.lax.scan(
-        body, carry0, jnp.arange(f, dtype=jnp.int32), length=f)
+        body, carry0, jnp.arange(0, f, unroll, dtype=jnp.int32),
+        length=f // unroll)
+    if unroll > 1:
+        # (steps, unroll, B) -> (f, B)
+        frame_bits = frame_bits.reshape(f, nb)
+        frame_ifs = frame_ifs.reshape(f, nb)
     py, pu, pv, seq_w, seq_b, i_f, fno, ovf = carry
     ovf = ovf | (seq_b > 32 * seq_cap)
     return (py, pu, pv, seq_w, seq_b, i_f, fno, ovf,

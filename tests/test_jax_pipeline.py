@@ -139,6 +139,38 @@ class TestChunkedScan:
         b = Encoder(cfg).encode(frames, 80, 64, pframes_count=4, chunk_frames=1)
         assert a == b
 
+    def test_unrolled_scan_equals_rolled(self, video_factory):
+        """encode_gop_scan unroll=2/3 must be byte-identical to unroll=1
+        (same per-frame ops, same order; only scan step granularity changes),
+        and a non-divisible unroll falls back to 1."""
+        import jax.numpy as jnp
+
+        from fpga_mpeg2_encoder_tpu.models.encoder import encode_gop_scan
+
+        frames = video_factory(96, 64, 6)
+        fy = jnp.asarray(np.stack([f[0] for f in frames]))
+        fu = jnp.asarray(np.stack([f[1] for f in frames]))
+        fv = jnp.asarray(np.stack([f[2] for f in frames]))
+        py = jnp.zeros((64, 96), jnp.uint8)
+        pc = jnp.zeros((32, 48), jnp.uint8)
+        kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384,
+                  seq_cap=131072)
+
+        outs = {}
+        for u in (1, 2, 3, 4):   # 4 does not divide 6 -> fallback rung
+            out = encode_gop_scan(fy, fu, fv, py, pc, pc, jnp.int32(0),
+                                  jnp.int32(0), jnp.int32(2), **kw, unroll=u)
+            assert not bool(out[7])
+            outs[u] = (np.asarray(out[3]), int(out[4]),
+                       np.asarray(out[8]), np.asarray(out[9]))
+        sw1, sb1, fb1, fi1 = outs[1]
+        nw = (sb1 + 31) // 32
+        for u in (2, 3, 4):
+            sw, sb, fb, fi = outs[u]
+            assert sb == sb1
+            assert (sw[:nw] == sw1[:nw]).all(), f"unroll={u}"
+            assert (fb == fb1).all() and (fi == fi1).all(), f"unroll={u}"
+
     def test_overflow_retry_path(self, video_factory):
         # tiny caps force the overflow retry (symbols-only device step +
         # host-side stitch, models/encoder._encode_frame_hoststitch)

@@ -105,3 +105,33 @@ def test_batched_chunked_scan_bit_exact(video_factory):
     streams = be.finish()
     for b in range(8):
         assert streams[b] == G.encode_sequence(cfg, seq, videos[b]), b
+
+
+def test_batched_unrolled_scan_equals_rolled(video_factory):
+    """encode_gops_batched unroll=2 must match unroll=1 exactly (payloads,
+    bit counts, per-frame stats) - same per-frame ops in the same order."""
+    import jax.numpy as jnp
+
+    from fpga_mpeg2_encoder_tpu.parallel.dp import encode_gops_batched
+
+    videos = [video_factory(64, 64, 4, kind=k)
+              for k in ("pan", "noise", "still")]
+    b, f, h, w = 3, 4, 64, 64
+    fy = jnp.asarray(np.stack([np.stack([fr[0] for fr in v]) for v in videos]))
+    fu = jnp.asarray(np.stack([np.stack([fr[1] for fr in v]) for v in videos]))
+    fv = jnp.asarray(np.stack([np.stack([fr[2] for fr in v]) for v in videos]))
+    py = jnp.zeros((b, h, w), jnp.uint8)
+    pc = jnp.zeros((b, h // 2, w // 2), jnp.uint8)
+    z = jnp.zeros((b,), jnp.int32)
+    pf = jnp.full((b,), 2, jnp.int32)
+    kw = dict(yr=6, ur=3, q_level=2, row_cap=1024, frame_cap=16384,
+              seq_cap=131072)
+    o1 = encode_gops_batched(fy, fu, fv, py, pc, pc, z, z, pf, **kw, unroll=1)
+    o2 = encode_gops_batched(fy, fu, fv, py, pc, pc, z, z, pf, **kw, unroll=2)
+    assert not bool(np.asarray(o1[7]).any()) and not bool(np.asarray(o2[7]).any())
+    assert (np.asarray(o1[4]) == np.asarray(o2[4])).all()
+    for k in range(b):
+        nw = (int(np.asarray(o1[4])[k]) + 31) // 32
+        assert (np.asarray(o2[3])[k, :nw] == np.asarray(o1[3])[k, :nw]).all(), k
+    assert (np.asarray(o1[8]) == np.asarray(o2[8])).all()
+    assert (np.asarray(o1[9]) == np.asarray(o2[9])).all()

@@ -36,7 +36,7 @@ def main():
     results = []
 
     def run_single(label, w, h, nf, pframes, row_cap, frame_cap, seq_cap,
-                   maker=make_frames):
+                   maker=make_frames, unroll=1):
         frames = maker(w, h, nf)
         fy = jnp.asarray(np.stack([f[0] for f in frames]))
         fu = jnp.asarray(np.stack([f[1] for f in frames]))
@@ -44,7 +44,7 @@ def main():
         py = jnp.zeros((h, w), jnp.uint8)
         pc = jnp.zeros((h // 2, w // 2), jnp.uint8)
         kw = dict(yr=6, ur=3, q_level=2, row_cap=row_cap,
-                  frame_cap=frame_cap, seq_cap=seq_cap)
+                  frame_cap=frame_cap, seq_cap=seq_cap, unroll=unroll)
         fys = [jnp.roll(fy, r, axis=0) for r in range(4)]
         jax.block_until_ready(fys)
 
@@ -68,11 +68,13 @@ def main():
 
     # configs 2-3: the reference testbench geometries (BASELINE configs).
     # Small frames amortise the per-dispatch/readback floor with DEEP scan
-    # chunks (384 CIF frames are still only ~150 MB of staged planes).
+    # chunks (384 CIF frames are still only ~150 MB of staged planes) and
+    # multi-frame scan-step unrolling (lets XLA overlap frame n's entropy
+    # tail with frame n+1's subsample/ME front; bit-identical).
     run_single("encode_throughput_352x288_ippp", 352, 288, 384, 23,
-               1024, 32768, 4194304)
+               1024, 32768, 4194304, unroll=4)
     run_single("encode_throughput_720x576_ippp", 720, 576, 192, 23,
-               2048, 65536, 8388608)
+               2048, 65536, 8388608, unroll=2)
     # config 4: 1920x1152, pframes_count=255 (one I, then all P)
     run_single("encode_throughput_1920x1152_p255", 1920, 1152, 48, 255,
                4096, 262144, 4194304)
@@ -84,7 +86,8 @@ def main():
     # small frames leave the chip idle per-stream (scan-step overheads
     # dominate at 0.1 MPixel frames); stream batching is the deployment
     # answer - record the 8-stream CIF aggregate alongside
-    def run_batched(label, b, w, h, nf, row_cap, frame_cap, seq_cap):
+    def run_batched(label, b, w, h, nf, row_cap, frame_cap, seq_cap,
+                    unroll=1):
         frames = make_frames(w, h, nf)
         fy1 = np.stack([f[0] for f in frames])
         fu1 = np.stack([f[1] for f in frames])
@@ -97,7 +100,7 @@ def main():
         z = jnp.zeros((b,), jnp.int32)
         pf = jnp.full((b,), 23, jnp.int32)
         kw = dict(yr=6, ur=3, q_level=2, row_cap=row_cap, frame_cap=frame_cap,
-                  seq_cap=seq_cap)
+                  seq_cap=seq_cap, unroll=unroll)
         fys = [jnp.roll(fy, r, axis=1) for r in range(4)]
         jax.block_until_ready(fys)
 
@@ -120,7 +123,7 @@ def main():
                         "vs_baseline": round(mpix / 268, 3)})
 
     run_batched("encode_throughput_8x352x288_aggregate", 8, 352, 288, 48,
-                1024, 32768, 524288)
+                1024, 32768, 524288, unroll=4)
 
     # config 5: batched 8-stream 1080p aggregate on one chip
     b, w, h, nf = 8, 1920, 1152, 12
@@ -136,7 +139,7 @@ def main():
     z = jnp.zeros((b,), jnp.int32)
     pf = jnp.full((b,), 23, jnp.int32)
     kw = dict(yr=6, ur=3, q_level=2, row_cap=4096, frame_cap=262144,
-              seq_cap=1048576)
+              seq_cap=1048576, unroll=2)
     fys = [jnp.roll(fy, r, axis=1) for r in range(4)]
     jax.block_until_ready(fys)
 
