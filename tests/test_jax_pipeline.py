@@ -192,6 +192,19 @@ class TestChunkedScan:
         assert got == want
 
 
+@pytest.mark.parametrize("w", [416, 528])
+def test_wide_geometry_stream_bit_exact(video_factory, w):
+    """Width-band regression: the r04 acsym routing bug only manifested at
+    frames >= 416 px wide (nbx >= 26, lane offsets crossing 256) - a band no
+    other CPU test reached.  Pin the XLA path against the golden model
+    there so width-scaling bugs in ANY stage surface in CI."""
+    cfg = EncoderConfig(xl=6, yl=4, vector_level=3, q_level=2)
+    frames = video_factory(w, 64, 3)
+    seq = SequenceConfig(w, 64, 1)
+    assert Encoder(cfg).encode(frames, w, 64, 1) == \
+        G.encode_sequence(cfg, seq, frames)
+
+
 def test_reciprocal_division_exhaustive():
     """The intra quantiser divides a 16-bit value by INTRA_Q via f32 reciprocal
     multiplication + floor; validate exactness over the entire dividend range."""
