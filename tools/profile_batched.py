@@ -29,8 +29,8 @@ from fpga_mpeg2_encoder_tpu.ops import bitpack, colorspace, entropy, motion
 W, H = 1920, 1152
 NF = int(os.environ.get("PROF_NF", "12"))
 B = int(os.environ.get("PROF_B", "8"))
-STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full",
-          "full_vmapped_append")
+STAGES = ("subsample", "motion", "dct", "sym_nz_dc", "sym_kernel",
+          "symbolize", "pack", "merge", "full", "full_vmapped_append")
 
 
 def frame_through(stage, yy, uu, vv, pyy, puu, pvv, i_f, fno):
@@ -69,6 +69,25 @@ def frame_through(stage, yy, uu, vv, pyy, puu, pvv, i_f, fno):
         qzig = q[entropy._ZIG_INV_NP, :].T.reshape(nby, nbx, 6, 64)
     if stage == "dct":
         return ry, ru, rv, qzig.sum()
+    if stage == "sym_nz_dc":
+        # symbolize sub-stage A: the XLA prep's big-array passes only
+        # (nz/cbp + the DC slice) - isolates full-grid reads from the rest
+        nz = jnp.logical_not(mr.inter)[:, :, None] | (qzig != 0).any(-1)
+        dc = qzig[..., 0]
+        return ry, ru, rv, nz.astype(jnp.int32).sum() + dc.sum()
+    if stage == "sym_kernel":
+        # symbolize sub-stage B: zmod build + the acsym kernel alone (dummy
+        # small grid) - symbolize minus this minus sym_nz_dc approximates
+        # the small-slot XLA prep (one-hot lookups, predictor chains,
+        # header rows and their .at scatters)
+        from fpga_mpeg2_encoder_tpu.ops.pallas.acsym import (
+            HDR_SLOTS, SLOTS_PER_MB, ac_slot_grid_pallas)
+        nby, nbx = mr.inter.shape
+        emit0 = jnp.logical_not(mr.inter)[:, :, None] | (qzig[..., 0] != 0)
+        zmod = qzig.at[..., 0].set(emit0.astype(qzig.dtype))
+        small = jnp.zeros((nby, HDR_SLOTS + nbx * SLOTS_PER_MB), jnp.uint32)
+        slots = ac_slot_grid_pallas(zmod.reshape(nby, nbx * 6 * 64), small)
+        return ry, ru, rv, slots.astype(jnp.int32).sum()
     fs = entropy.symbolize_frame(qzig, mr.inter, mr.mvx, mr.mvy, i_f, fno, 2)
     if stage == "symbolize":
         return ry, ru, rv, fs.slots.astype(jnp.int32).sum()
