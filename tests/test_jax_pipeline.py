@@ -20,6 +20,16 @@ class TestOpsVsGolden:
         jy, ju, jv = colorspace.subsample_420(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
         assert (np.asarray(ju) == gu).all() and (np.asarray(jv) == gv).all()
 
+    @pytest.mark.parametrize("shape", [(16, 16), (288, 352), (64, 2048)])
+    def test_subsample_impls_bitexact(self, rng, shape):
+        """The bitcast (TPU) and strided halving paths are bit-identical and
+        both match the golden model, across small/production/max widths."""
+        p = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = G.subsample_420(p, p, p)[1]
+        bc = np.asarray(colorspace._half_bitcast(jnp.asarray(p)))
+        st = np.asarray(colorspace._half_strided(jnp.asarray(p)))
+        assert (bc == want).all() and (st == want).all()
+
     def test_fdct_exact(self, rng):
         x = rng.integers(-255, 256, (64, 8, 8)).astype(np.int32)
         want = np.stack([G.fdct(t) for t in x]).reshape(64, 64)

@@ -31,11 +31,20 @@ NF = int(_env.get("PROF_NF", "12"))
 ROW_CAP = int(_env.get("PROF_ROW_CAP", "4096"))
 FRAME_CAP = int(_env.get("PROF_FRAME_CAP", "262144"))
 NBY, NBX = H // 16, W // 16
-STAGES = ("subsample", "motion", "dct", "symbolize", "pack", "merge", "full")
+STAGES = ("nop", "subsample", "motion", "dct", "symbolize", "pack", "merge",
+          "full")
 
 
 def make_scan(stage):
     def frame(yy, uu, vv, pyy, puu, pvv, i_f, fno):
+        if stage == "nop":
+            # scan/dispatch floor: touch one vector of each input so nothing
+            # constant-folds, do no pipeline work.  The subsample row minus
+            # this row is the honest subsample cost.
+            chk = (yy[0, :256].astype(jnp.int32).sum()
+                   + uu[0, :256].astype(jnp.int32).sum()
+                   + vv[0, :256].astype(jnp.int32).sum())
+            return pyy, puu, pvv, chk
         y, u, v = colorspace.subsample_420(yy, uu, vv)
         if stage == "subsample":
             return pyy, puu, pvv, y.astype(jnp.int32).sum() + u.astype(jnp.int32).sum()
