@@ -67,22 +67,33 @@ def _gs_for(w: int) -> int:
     return 2
 
 
+def _pos_masks(shape, axis: int):
+    """8 per-position masks on the SKINNY broadcastable shape ((n,1)/(1,n))
+    - building predicates/constants on full strips was ~30% of the kernel's
+    VPU work; on vectors it is noise, and every consumer broadcasts."""
+    cshape = (shape[0], 1) if axis == 0 else (1, shape[1])
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, cshape, axis) & 7
+    return [idx8 == p for p in range(8)]
+
+
 def _roll_mac(x, m: np.ndarray, axis: int):
     """Linear 8-point transform on every aligned 8-group along `axis`:
-    out[p] = sum_j m[p, j] x[j], as 15 masked shifted int32 MACs."""
+    out[p] = sum_j m[p, j] x[j], as 15 shifted int32 MACs against
+    per-position tap-constant VECTORS (broadcast along the other axis)."""
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[axis]
-    idx8 = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & 7
+    masks = _pos_masks(x.shape, axis)
+    cshape = (x.shape[0], 1) if axis == 0 else (1, x.shape[1])
     out = jnp.zeros_like(x)
     for d in range(-7, 8):
         taps = [(p, int(m[p, p + d])) for p in range(8)
                 if 0 <= p + d < 8 and m[p, p + d] != 0]
         if not taps:
             continue
-        const = jnp.zeros_like(x)
+        const = jnp.zeros(cshape, jnp.int32)
         for p, c in taps:
-            const = jnp.where(idx8 == p, jnp.int32(c), const)
+            const = jnp.where(masks[p], jnp.int32(c), const)
         shifted = pltpu.roll(x, shift=(n - d) % n, axis=axis)
         out = out + shifted * const
     return out
@@ -90,11 +101,12 @@ def _roll_mac(x, m: np.ndarray, axis: int):
 
 def _group_bcast_inputs(x, axis: int):
     """For every aligned 8-group along `axis`, return 8 arrays b[j] with
-    b[j][k] = x[group(k)*8 + j]: 15 rolls + 8x8 positional selects."""
+    b[j][k] = x[group(k)*8 + j]: 15 rolls + 8x8 positional selects against
+    precomputed (broadcastable) position masks."""
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[axis]
-    idx8 = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & 7
+    masks = _pos_masks(x.shape, axis)
     out = [jnp.zeros_like(x) for _ in range(8)]
     # one rolled copy live at a time (VMEM): scatter shift d into every b[j]
     # whose position p = j - d needs it
@@ -103,7 +115,7 @@ def _group_bcast_inputs(x, axis: int):
         for j in range(8):
             p = j - d
             if 0 <= p < 8:
-                out[j] = jnp.where(idx8 == p, zd, out[j])
+                out[j] = jnp.where(masks[p], zd, out[j])
     return out
 
 
@@ -149,20 +161,36 @@ def _cw_stage(a, rounding: bool):
 
 def _positional_select(outs, axis: int, shape):
     """out[k] = outs[k & 7][k] along `axis` - keep each position's own lane."""
-    idx8 = jax.lax.broadcasted_iota(jnp.int32, shape, axis) & 7
+    masks = _pos_masks(shape, axis)
     r = outs[0]
     for p in range(1, 8):
-        r = jnp.where(idx8 == p, outs[p], r)
+        r = jnp.where(masks[p], outs[p], r)
     return r
 
 
-def _transform_block(cur, pred, im, q_level: int):
+def _quant_planes(rows: int, cols: int):
+    """INTRA_Q weight / exact-reciprocal / DC-position planes, tiled to the
+    strip block shape as host-side numpy (8x8-periodic, compile-time static).
+    Passed to the kernel as constant-index-map inputs: Pallas forbids
+    captured array constants, and building them in-kernel with iota+select
+    chains (the pre-r04 form) was ~80 full-strip VPU ops per grid step."""
+    reps = (rows // 8, cols // 8)
+    q_np = np.asarray(T.INTRA_Q, np.int64)
+    iq = np.tile(q_np.astype(np.int32), reps)
+    rq = np.tile(
+        ((1.0 + 2.0 ** -21) / q_np.astype(np.float64)).astype(np.float32),
+        reps)
+    dc_np = np.zeros((8, 8), np.bool_)
+    dc_np[0, 0] = True
+    return iq, rq, np.tile(dc_np, reps)
+
+
+def _transform_block(cur, pred, im, iq, rq, is_dc, q_level: int):
     """Shared per-plane body: (rows, W) int32 cur/pred strips + the per-MB
-    inter flag pre-replicated to pixel resolution -> (q, recon) strips."""
+    inter flag pre-replicated to pixel resolution + static quant planes
+    -> (q, recon) strips."""
     m = np.asarray(T.DCTM, np.int64)
     shape = cur.shape
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, shape, 0) & 7
-    lan8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1) & 7
 
     resid = cur - pred                                        # |.| <= 255
 
@@ -173,27 +201,11 @@ def _transform_block(cur, pred, im, q_level: int):
     r = ((r & 0x1FFFF) ^ 0x10000) - 0x10000                   # 17-bit wrap
 
     # ---- quantise (RTL:2064-2077) ------------------------------------------
-    # INTRA_Q weight / exact-reciprocal planes from iota selects (tiny)
-    iq = jnp.zeros(shape, jnp.int32)
-    rq = jnp.zeros(shape, jnp.float32)
-    q_np = np.asarray(T.INTRA_Q, np.int64)
-    for v in range(8):
-        row_iq = jnp.zeros((1, shape[1]), jnp.int32)
-        row_rq = jnp.zeros((1, shape[1]), jnp.float32)
-        for u in range(8):
-            wvu = int(q_np[v, u])
-            row_iq = jnp.where(lan8[:1] == u, jnp.int32(wvu), row_iq)
-            row_rq = jnp.where(lan8[:1] == u,
-                               jnp.float32((1.0 + 2.0 ** -21) / wvu), row_rq)
-        iq = jnp.where(sub8 == v, row_iq, iq)
-        rq = jnp.where(sub8 == v, row_rq, rq)
-
     a = jnp.abs(r) & 0xFFFF
     q_inter = ((a + 2) & 0xFFFF) >> (4 + q_level)
     off = (iq * ((3 << q_level) + 2)) >> 3
     tq = ((a + off) & 0xFFFF) >> q_level
     q_intra = jnp.floor(tq.astype(jnp.float32) * rq).astype(jnp.int32)
-    is_dc = (sub8 == 0) & (lan8 == 0)
     q_intra = jnp.where(is_dc, (a >> 4) + ((a >> 3) & 1), q_intra)
     q = jnp.where(im > 0, q_inter, q_intra)
     q = jnp.minimum(q, 2047)
@@ -227,11 +239,16 @@ def _transform_block(cur, pred, im, q_level: int):
 
 
 def _kernel(q_level: int, cy_ref, py_ref, iy_ref, cc_ref, pc_ref, ic_ref,
+            iqy_ref, rqy_ref, dcy_ref, iqc_ref, rqc_ref, dcc_ref,
             qy_ref, ry_ref, qc_ref, rc_ref):
-    qy, ry = _transform_block(cy_ref[...], py_ref[...], iy_ref[...], q_level)
+    qy, ry = _transform_block(cy_ref[...], py_ref[...], iy_ref[...],
+                              iqy_ref[...], rqy_ref[...], dcy_ref[...],
+                              q_level)
     qy_ref[...] = qy
     ry_ref[...] = ry
-    qc, rc = _transform_block(cc_ref[...], pc_ref[...], ic_ref[...], q_level)
+    qc, rc = _transform_block(cc_ref[...], pc_ref[...], ic_ref[...],
+                              iqc_ref[...], rqc_ref[...], dcc_ref[...],
+                              q_level)
     qc_ref[...] = qc
     rc_ref[...] = rc
 
@@ -279,6 +296,12 @@ def transform_recon_pallas(
     ic = prep(jnp.concatenate(
         [jnp.repeat(jnp.repeat(ii, 8, axis=0), 8, axis=1)] * 2, axis=1),
         nbyp * 8, 2 * wc, wcp)
+    iqy, rqy, dcy = (jnp.asarray(p) for p in _quant_planes(16 * gs, wp))
+    iqc, rqc, dcc = (jnp.asarray(p) for p in _quant_planes(8 * gs, wcp))
+
+    def _const_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
 
     qy, ry, qc, rc = pl.pallas_call(
         functools.partial(_kernel, q_level),
@@ -296,6 +319,12 @@ def transform_recon_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * gs, wcp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            _const_spec(16 * gs, wp),
+            _const_spec(16 * gs, wp),
+            _const_spec(16 * gs, wp),
+            _const_spec(8 * gs, wcp),
+            _const_spec(8 * gs, wcp),
+            _const_spec(8 * gs, wcp),
         ],
         out_specs=[
             pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
@@ -314,7 +343,12 @@ def transform_recon_pallas(
             jax.ShapeDtypeStruct((nbyp * 8, wcp), jnp.int32),
         ],
         interpret=_INTERPRET,
-    )(cy, py, iy, cc, pc, ic)
+        compiler_params=pltpu.CompilerParams(
+            # Scoped-VMEM cap, not physical (docs/KERNELS.md): the six
+            # constant-index-map quant/mask planes add ~1-2 MB double-buffered
+            # on top of the ~13 live strip temporaries.
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(cy, py, iy, cc, pc, ic, iqy, rqy, dcy, iqc, rqc, dcc)
 
     recon_y = ry[:h, :w].astype(jnp.uint8)
     recon_u = rc[:h // 2, :wc].astype(jnp.uint8)

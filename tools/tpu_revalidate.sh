@@ -39,6 +39,10 @@ timeout 1800 python tools/profile_batched.py \
 echo "== headline bench =="
 timeout 1200 python bench.py 2>&1 | tee /tmp/tpu_reval/bench.log | tail -2
 
+echo "== headline bench A/B: unroll=4 (promote to default if it wins) =="
+FPGA_MPEG2_BENCH_UNROLL=4 timeout 1200 python bench.py \
+  2>&1 | tee /tmp/tpu_reval/bench_unroll4.log | tail -2
+
 echo "== config benches (writes BENCH_CONFIGS_r04.json) =="
 timeout 3000 python tools/bench_configs.py \
   2>&1 | tee /tmp/tpu_reval/configs.log | tail -7
