@@ -28,6 +28,11 @@ echo "== per-stage profile (NF=48) =="
 PROF_NF=48 timeout 1200 python tools/profile_stages.py \
   2>&1 | tee /tmp/tpu_reval/profile.log | tail -8
 
+echo "== per-stage profile at CIF (352x288, NF=96): localizes the small-geometry floor =="
+PROF_W=352 PROF_H=288 PROF_NF=96 PROF_ROW_CAP=1024 PROF_FRAME_CAP=32768 \
+  timeout 1200 python tools/profile_stages.py \
+  2>&1 | tee /tmp/tpu_reval/profile_cif.log | tail -10
+
 echo "== sharded-path overhead profile (1-dev slice mesh vs plain) =="
 timeout 1200 python tools/profile_sharded.py \
   2>&1 | tee /tmp/tpu_reval/sharded.log | tail -4
@@ -43,8 +48,8 @@ echo "== headline bench A/B: unroll=4 (promote to default if it wins) =="
 FPGA_MPEG2_BENCH_UNROLL=4 timeout 1200 python bench.py \
   2>&1 | tee /tmp/tpu_reval/bench_unroll4.log | tail -2
 
-echo "== config benches (writes BENCH_CONFIGS_r04.json) =="
-timeout 3000 python tools/bench_configs.py \
+echo "== config benches (writes BENCH_CONFIGS_r04.json; sweeps unroll + vmap/seq forms) =="
+timeout 5400 python tools/bench_configs.py \
   2>&1 | tee /tmp/tpu_reval/configs.log | tail -7
 
 echo "== done; logs in /tmp/tpu_reval =="

@@ -48,7 +48,12 @@ while true; do
     git commit -m "On-chip revalidation artifacts (tunnel-return watcher, rc=$rc)" \
       -- "$DEST" BENCH_CONFIGS_r04.json >> "$LOG" 2>&1
     echo "$(date -u +%FT%TZ) revalidation done rc=$rc" >> "$LOG"
-    exit 0
+    # A mid-run tunnel flap leaves rc!=0 with partial logs: keep watching and
+    # retry on the next window instead of abandoning the watch.
+    if [ "$rc" -eq 0 ]; then
+      exit 0
+    fi
+    echo "$(date -u +%FT%TZ) revalidation failed (rc=$rc) - resuming watch" >> "$LOG"
   else
     echo "$(date -u +%FT%TZ) DOWN (probe timeout/fail)" >> "$LOG"
   fi
