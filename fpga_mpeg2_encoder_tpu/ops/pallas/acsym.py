@@ -153,6 +153,10 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
     # tests passed while 720p/1080p/2048 corrupted (caught on-chip, r04).
     # Each copy therefore carries a live flag: a take requires a LIVE source,
     # and a source claimed by its right neighbour dies that stage.
+    #
+    # The remainder (<= 12 bits) and the live flag share one carry array
+    # (rem << 1 | live): each stage rolls/selects 2 arrays instead of 3,
+    # a third less VPU traffic in the barrel, bit-identical routing.
     sl = jax.lax.broadcasted_iota(jnp.int32, (_RB, sp), 1)
     q = sl >> 6                                               # tile index
     mb = (q * m6) >> s6
@@ -161,21 +165,24 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
     data = jnp.concatenate(
         [ac_ref[...],
          jnp.zeros((_RB, sp - width), jnp.uint32)], axis=1)   # (RB, SP)
-    rem = off
-    live = (sl < width).astype(jnp.int32)
+    carry = (off << 1) | (sl < width).astype(jnp.int32)       # rem<<1 | live
     kbit = 1
     while kbit <= 7 + 10 * (width // 384 - 1) + 5:
         kbit <<= 1
     kbit >>= 1
     while kbit >= 1:
+        kb2 = kbit << 1
         dmoved = pltpu.roll(data, shift=kbit, axis=1)
-        rmoved = pltpu.roll(rem, shift=kbit, axis=1)
-        lmoved = pltpu.roll(live, shift=kbit, axis=1)
-        take = ((rmoved & kbit) > 0) & (lmoved > 0)
-        claimed = ((rem & kbit) > 0) & (live > 0)
+        cmoved = pltpu.roll(carry, shift=kbit, axis=1)
+        # take: rolled copy has this stage's rem bit AND is live
+        take = ((cmoved & (kb2 | 1)) == (kb2 | 1))
+        # claimed: this lane's live copy moved away this stage -> it dies
+        claimed = ((carry & (kb2 | 1)) == (kb2 | 1))
         data = jnp.where(take, dmoved, data)
-        rem = jnp.where(take, rmoved - kbit, rem)
-        live = jnp.where(take, 1, jnp.where(claimed, 0, live))
+        # taking consumes the stage bit (bit 0 stays 1: the source was live);
+        # a claimed-and-not-taken lane only drops its live bit
+        carry = jnp.where(take, cmoved - kb2,
+                          jnp.where(claimed, carry & ~1, carry))
         kbit >>= 1
 
     # ---- merge with the pre-packed non-AC slots -----------------------------
