@@ -31,7 +31,8 @@ NF = int(_env.get("PROF_NF", "12"))
 ROW_CAP = int(_env.get("PROF_ROW_CAP", "4096"))
 FRAME_CAP = int(_env.get("PROF_FRAME_CAP", "262144"))
 NBY, NBX = H // 16, W // 16
-STAGES = ("nop", "subsample", "motion", "dct", "symbolize", "pack", "merge",
+STAGES = ("nop", "subsample", "motion", "dct", "sym_nz_dc", "sym_kernel",
+          "symbolize", "pack", "merge",
           "full")
 
 
@@ -87,6 +88,25 @@ def make_scan(stage):
             qzig = q[entropy._ZIG_INV_NP, :].T.reshape(NBY, NBX, 6, 64)
         if stage == "dct":
             return ry, ru, rv, qzig.sum()
+        if stage == "sym_nz_dc":
+            # symbolize sub-stage A: only the full-grid XLA passes (nz flags
+            # + the DC slice) - isolates big-array reads from the rest
+            nz = jnp.logical_not(mr.inter)[:, :, None] | (qzig != 0).any(-1)
+            dcs = qzig[..., 0]
+            return ry, ru, rv, nz.astype(jnp.int32).sum() + dcs.sum()
+        if stage == "sym_kernel":
+            # symbolize sub-stage B: zmod build + the acsym kernel alone with
+            # a dummy small grid; symbolize minus this minus sym_nz_dc
+            # approximates the small-slot XLA prep (one-hot lookups,
+            # predictor chains, header rows)
+            from fpga_mpeg2_encoder_tpu.ops.pallas.acsym import (
+                HDR_SLOTS, SLOTS_PER_MB, ac_slot_grid_pallas)
+            emit0 = jnp.logical_not(mr.inter)[:, :, None] | (qzig[..., 0] != 0)
+            zmod = qzig.at[..., 0].set(emit0.astype(qzig.dtype))
+            small = jnp.zeros((NBY, HDR_SLOTS + NBX * SLOTS_PER_MB),
+                              jnp.uint32)
+            slots = ac_slot_grid_pallas(zmod.reshape(NBY, NBX * 6 * 64), small)
+            return ry, ru, rv, slots.astype(jnp.int32).sum()
         fs = entropy.symbolize_frame(qzig, mr.inter,
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
