@@ -96,7 +96,7 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
 
         # ---- compact B.14 key (ops/entropy.py _ac_key) -----------------------
         v = jnp.where(z == 0, 1, z)
-        am1 = jnp.maximum(v, -v) - 1
+        am1 = jnp.abs(v) - 1
         ka = (run <= 7) & (am1 <= 7)
         kb = (run == 0) & (am1 >= 8) & (am1 <= 39)
         kc = (run == 1) & (am1 >= 8) & (am1 <= 17)

@@ -133,7 +133,7 @@ def _me_body(yr: int, w: int, sw: int, g: int, nbx: int, nby: int, wt: int,
         shifted = pltpu.roll(win, shift=(wt - (yr + dx)) % wt, axis=1)
         for dy in range(-yr, yr + 1):
             x = c16 - shifted[16 + dy:32 + dy, :]
-            d = jnp.maximum(x, -x)
+            d = jnp.abs(x)
             rs_ref[(dy + yr) * n + (dx + yr), :] = jnp.sum(d, axis=0)
     rs_ref[nn, :] = jnp.sum(c16, axis=0)                      # pixel sums
     nout = rs_ref.shape[0]
