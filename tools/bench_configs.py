@@ -116,6 +116,7 @@ def main():
         results.append({"metric": label, "value": round(mpix, 1),
                         "unit": "MPixels/s", "vs_baseline": round(mpix / 268, 3),
                         "unroll": best_u, "sweep": sweep})
+        print(json.dumps(results[-1]), flush=True)   # progress as rows land
 
     # Two legitimate one-chip deployment forms for B independent streams:
     #   * "vmap"  - one device-resident batched scan (encode_gops_batched):
@@ -188,6 +189,7 @@ def main():
                         "unit": "MPixels/s",
                         "vs_baseline": round(mpix / 268, 3),
                         "unroll": best_u, "form": best_form, "sweep": sweep})
+        print(json.dumps(results[-1]), flush=True)   # progress as rows land
 
     if SMOKE:
         run_single("smoke_single", 64, 64, 8, 3, 256, 4096, 65536,
