@@ -11,9 +11,13 @@ leave as finished slot-grid rows:
 * run lengths: the previous-nonzero index is a segmented cumulative max over
   each tile's 64 zig-zag lanes, computed as 6 masked lane-roll max steps
   (the TPU analog of the RTL's per-cycle run counter);
-* the 144-entry compact B.14 table lookup stays the exact one-hot matmul
-  (0/1 one-hot x byte-plane table, f32 accumulation - values <= 255 are
-  bf16-exact) but the one-hot and partial products never leave VMEM;
+* the 144-entry compact B.14 table lookup stays the exact one-hot matmul,
+  but in f32 with the FULL 24-bit entries as table values (every entry
+  < 2^24 is f32-exact, and each one-hot column selects exactly one term, so
+  every sum has a single nonzero addend - exact in any accumulation order).
+  The pre-r05 form kept three 8-bit byte planes to stay bf16-exact, which
+  tripled the second-level select; folding to one f32 plane halves the
+  lookup block's VPU work.  One-hots and partial products never leave VMEM;
 * the 24-bit escape path (RTL:2541-2543) is pure integer arithmetic;
 * slot routing: AC position (mb, t, z) must land at slot
   3 + mb*394 + 4 + t*65 + z, a right-shift of 7 + 10*mb + t lanes.  The
@@ -75,7 +79,7 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
             out_ref, ac_ref):
     from jax.experimental.pallas import tpu as pltpu
 
-    tabt = tabt_ref[...].astype(jnp.bfloat16)                 # (48, 16)
+    tabt = tabt_ref[...]                                      # (16, 16) f32
     (m6, s6), (m394, s394), (m65, s65) = divs
 
     # ---- put_AC per coefficient, chunked through VMEM -----------------------
@@ -115,15 +119,17 @@ def _kernel(width: int, nbx: int, sp: int, divs, tabt_ref, z_ref, small_ref,
         io16 = jax.lax.broadcasted_iota(jnp.int32, (16, e - s), 0)
         rows = []
         for r in range(z.shape[0]):
-            oh = (io16 == klo[r:r + 1, :]).astype(jnp.bfloat16)
-            p = jnp.dot(tabt, oh,
-                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            ohhi = (io16 == khi[r:r + 1, :]).astype(jnp.bfloat16)
-            v0 = jnp.sum(p[0:16, :] * ohhi, axis=0, keepdims=True)
-            v1 = jnp.sum(p[16:32, :] * ohhi, axis=0, keepdims=True)
-            v2 = jnp.sum(p[32:48, :] * ohhi, axis=0, keepdims=True)
-            rows.append(v0.astype(jnp.int32) | (v1.astype(jnp.int32) << 8)
-                        | (v2.astype(jnp.int32) << 16))
+            oh = (io16 == klo[r:r + 1, :]).astype(jnp.float32)
+            # HIGHEST precision: TPU's default f32 matmul truncates operands
+            # to bf16 (1 pass), which would chop the 24-bit entries.  The
+            # multi-pass decomposition splits tabt = hi + lo with both
+            # passes against the EXACTLY-bf16 one-hot, so the product is
+            # exact end to end.
+            p = jnp.dot(tabt, oh, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (16, C)
+            ohhi = (io16 == khi[r:r + 1, :]).astype(jnp.float32)
+            rows.append(jnp.sum(p * ohhi, axis=0,
+                                keepdims=True).astype(jnp.int32))
         eint = jnp.concatenate(rows, axis=0)                  # (RB, C)
 
         # ---- packed symbol assembly (put_AC, RTL:2525-2547) ------------------
@@ -230,7 +236,7 @@ def ac_slot_grid_pallas(zmod: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
         functools.partial(_kernel, width, nbx, sp, divs),
         grid=(rp // _RB,),
         in_specs=[
-            pl.BlockSpec((48, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_RB, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_RB, sp), lambda i: (i, 0),
@@ -249,12 +255,11 @@ def ac_slot_grid_pallas(zmod: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _table_t_np():
     from ..entropy import _AC_TABLE
-    t = np.zeros((48, 16), np.float32)
+    t = np.zeros((16, 16), np.float32)
     for kk in range(144):
         e = int(_AC_TABLE[kk])
-        t[(kk >> 4), kk & 15] = e & 255
-        t[16 + (kk >> 4), kk & 15] = (e >> 8) & 255
-        t[32 + (kk >> 4), kk & 15] = (e >> 16) & 255
+        assert e < (1 << 24)                  # f32-exact integer range
+        t[kk >> 4, kk & 15] = e
     return t
 
 

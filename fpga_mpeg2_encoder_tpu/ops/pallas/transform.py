@@ -101,22 +101,29 @@ def _roll_mac(x, m: np.ndarray, axis: int):
 
 def _group_bcast_inputs(x, axis: int):
     """For every aligned 8-group along `axis`, return 8 arrays b[j] with
-    b[j][k] = x[group(k)*8 + j]: 15 rolls + 8x8 positional selects against
-    precomputed (broadcastable) position masks."""
+    b[j][k] = x[group(k)*8 + j], as a 3-level butterfly tree: each level
+    doubles the broadcast period (1 -> 2 -> 4 -> 8), so the full set costs
+    14 rolls + 14 selects instead of the naive 15 rolls + 64 positional
+    selects (r05: the two IDCT input builds were the largest VPU block in
+    the kernel).  Invariant after processing bits {1..b}: cur[off][k] =
+    x[(k & ~(2b-1)) + off]; rolls only ever read within the lane's own
+    8-group, so tile/edge/seam safety is inherited from the layout."""
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[axis]
-    masks = _pos_masks(x.shape, axis)
-    out = [jnp.zeros_like(x) for _ in range(8)]
-    # one rolled copy live at a time (VMEM): scatter shift d into every b[j]
-    # whose position p = j - d needs it
-    for d in range(-7, 8):
-        zd = pltpu.roll(x, shift=(n - d) % n, axis=axis)  # zd[k] = x[k + d]
-        for j in range(8):
-            p = j - d
-            if 0 <= p < 8:
-                out[j] = jnp.where(masks[p], zd, out[j])
-    return out
+    cshape = (x.shape[0], 1) if axis == 0 else (1, x.shape[1])
+    idx = jax.lax.broadcasted_iota(jnp.int32, cshape, axis)
+    cur = {0: x}
+    for bit in (1, 2, 4):
+        m = (idx & bit) != 0
+        nxt = {}
+        for off, arr in cur.items():
+            nxt[off] = jnp.where(m, pltpu.roll(arr, shift=bit, axis=axis),
+                                 arr)
+            nxt[off + bit] = jnp.where(
+                m, arr, pltpu.roll(arr, shift=(n - bit) % n, axis=axis))
+        cur = nxt
+    return [cur[j] for j in range(8)]
 
 
 def _cw_stage(a, rounding: bool):
