@@ -29,16 +29,25 @@ W, H, NF = 1920, 1152, 8
 ROW_CAP, BUDGET = 4096, 8
 
 
-def timeit(name, f, *args, reps=24):
-    out = f(*args)
-    jax.block_until_ready(out)
+def timeit(name, f, variants, reps=24):
+    """Steady-state timing: `variants` is a list of distinct arg tuples (the
+    axon runtime caches identical executions); reps are queued back-to-back
+    and ONE combined scalar readback forces the batch, so the ~25 ms tunnel
+    round trip is charged once against the whole batch."""
+    outs = [f(*v) for v in variants]
+    jax.block_until_ready(outs)
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        outs = [f(*args) for _ in range(reps)]
-        jax.block_until_ready(outs[-1])
+        acc = None
+        for i in range(reps):
+            out = f(*variants[i % len(variants)])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            s = leaf.reshape(-1)[0].astype(jnp.int32)
+            acc = s if acc is None else acc + s
+        int(acc)
         best = min(best, (time.perf_counter() - t0) / reps * 1000)
-    print(f"{name:28s}: {best:8.3f} ms")
+    print(f"{name:28s}: {best:8.3f} ms", flush=True)
     return best
 
 
@@ -51,12 +60,13 @@ def main():
     qzig, ry, ru, rv = transform_recon_pallas(
         y, u, v, mr.pred_y, mr.pred_u, mr.pred_v, mr.inter, 2)
     sym = entropy.symbolize_frame(
-        qzig, mr.inter, mr.mvx, mr.mvy, jnp.asarray(False), 2)
+        qzig, mr.inter, mr.mvx, mr.mvy, jnp.int32(1), jnp.int32(3), 2)
     slots = sym.slots
     jax.block_until_ready(slots)
     nby = H // 16
     print(f"slot grid: {slots.shape}, nonzero slots: "
-          f"{int((np.asarray(slots) != 0).sum())} / {slots.size}")
+          f"{int((np.asarray(slots) != 0).sum())} / {slots.size}", flush=True)
+    slot_vars = [jnp.roll(slots, r, axis=0) for r in range(4)]
 
     # ---- acsym kernel alone (as called inside symbolize_frame) -----------
     nbx = W // 16
@@ -65,12 +75,13 @@ def main():
         * (np.random.default_rng(1).random((nby, nbx * 384)) < 0.12))
     small = jnp.zeros((nby, K.HDR_SLOTS + nbx * K.SLOTS_PER_MB), jnp.uint32)
     f_acsym = jax.jit(K.ac_slot_grid_pallas)
-    timeit("acsym kernel", f_acsym, zmod, small)
+    timeit("acsym kernel", f_acsym,
+           [(jnp.roll(zmod, r, axis=0), small) for r in range(4)])
 
     # ---- pack phases ------------------------------------------------------
     f_pack = jax.jit(functools.partial(
         KP.pack_slots_pallas, cap_words=ROW_CAP, budget_bps=BUDGET))
-    timeit("pack (both phases)", f_pack, slots)
+    timeit("pack (both phases)", f_pack, [(v,) for v in slot_vars])
 
     # phase 1 alone: replicate the call-site prep
     r, s = slots.shape
@@ -110,7 +121,7 @@ def main():
     f_p1 = jax.jit(phase1)
     buf = f_p1(slots)
     jax.block_until_ready(buf)
-    timeit("pack phase 1", f_p1, slots)
+    timeit("pack phase 1", f_p1, [(v,) for v in slot_vars])
 
     def phase2(buf_in, slots_in):
         c = jnp.pad(slots_in, ((0, rp - r), (0, s2 - s)))
@@ -140,14 +151,16 @@ def main():
 
     f_p2 = jax.jit(phase2)
     jax.block_until_ready(f_p2(buf, slots))
-    timeit("pack phase 2 (+prep)", f_p2, buf, slots)
+    timeit("pack phase 2 (+prep)", f_p2,
+           [(f_p1(v), v) for v in slot_vars])
 
     # ---- row merge --------------------------------------------------------
     rw, rb, _ = KP.pack_slots_pallas(slots, ROW_CAP, BUDGET)
     jax.block_until_ready((rw, rb))
     f_m = jax.jit(functools.partial(KP.merge_rows_pallas,
                                     cap_words=262144))
-    timeit("merge rows", f_m, rw, rb)
+    timeit("merge rows", f_m,
+           [(jnp.roll(rw, r, axis=0), jnp.roll(rb, r)) for r in range(4)])
 
 
 if __name__ == "__main__":

@@ -32,8 +32,49 @@ ROW_CAP = int(_env.get("PROF_ROW_CAP", "4096"))
 FRAME_CAP = int(_env.get("PROF_FRAME_CAP", "262144"))
 NBY, NBX = H // 16, W // 16
 STAGES = ("nop", "subsample", "motion", "dct", "sym_nz_dc", "sym_kernel",
-          "symbolize", "pack", "merge",
+          "symbolize", "pack_p1", "pack", "merge",
           "full")
+
+
+def _pack_phase1_fn():
+    """Phase-1-only runner over the production pack kernel's internals:
+    bit-reversal prep + the phase-1 pallas_call (slot pairs -> 128-node
+    buffers).  `pack` minus this row isolates phase 2 + the row-bits pyramid."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fpga_mpeg2_encoder_tpu.ops.pallas import pack as KP
+
+    def run(slots):
+        r, s = slots.shape
+        s2 = max(256, 1 << (s - 1).bit_length())
+        rp = -(-r // KP._RB) * KP._RB
+        nlev = s2.bit_length() - 1
+        cap128 = -(-ROW_CAP // 128) * 128
+        widths = [2]
+        for level in range(2, nlev + 1):
+            w_new, _ = KP._level_width(level, widths[-1], cap128, 8, 1536)
+            if level >= nlev - 7:
+                w_new = min(-(-w_new // 128) * 128, cap128)
+            widths.append(w_new)
+        widths = tuple(widths)
+        c = jnp.pad(slots, ((0, rp - r), (0, s2 - s)))
+        c = KP._bit_reverse(c, s2)
+        w1 = widths[nlev - 8]
+        return pl.pallas_call(
+            functools.partial(KP._phase1_kernel, s2, widths),
+            grid=(rp // KP._RB,),
+            in_specs=[pl.BlockSpec((KP._RB, s2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, w1, KP._RB, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rp // KP._RB, w1, KP._RB, 128),
+                                           jnp.uint32),
+            **KP._compiler_params(),
+        )(c)
+
+    return run
 
 
 def make_scan(stage):
@@ -111,6 +152,9 @@ def make_scan(stage):
                                      mr.mvx, mr.mvy, i_f, fno, 2)
         if stage == "symbolize":
             return ry, ru, rv, fs.slots.astype(jnp.int32).sum()
+        if stage == "pack_p1":
+            buf = _pack_phase1_fn()(fs.slots)
+            return ry, ru, rv, buf.astype(jnp.int32).sum()
         rw, rb, _ = bitpack.pack_slots(fs.slots, ROW_CAP, budget_bps=8)
         if stage == "pack":
             return ry, ru, rv, rw.astype(jnp.int32).sum() + rb.sum()
