@@ -362,19 +362,40 @@ def transform_recon_pallas(
     recon_v = rc[:h // 2, wc:2 * wc].astype(jnp.uint8)
 
     # ---- zig-zag tile-major relayout of q (the only marshalling left) ------
+    # r05: two-level transpose over int16 lane-pairs.  The naive 6-D
+    # transpose + take costs ~0.66 ms/frame at 1080p (XLA's corner turn falls
+    # off the fast path at 8-lane granularity); this form measures ~0.10:
+    #   1. pack lane pairs (2j, 2j+1) into one int32 (q is clamped to
+    #      [-2047, 2047], RTL:2075 -> 16-bit exact), halving transpose bytes;
+    #   2. corner-turn at 16-row x 8-packed-lane MB granularity (fast path),
+    #      then rearrange the 2x2 luma tiles lane-locally;
+    #   3. bitcast back to int16 (little-endian [lo, hi] matches pack order)
+    #      and gather the zig-zag order on the 64-wide minor axis.
+    # Bit-exact vs the naive form (pinned by test_pallas_interpret +
+    # test_tpu_exactness); measured in tools/probe_transform_split.py.
     zz = np.asarray(T.ZIGZAG, np.int64)                       # (8,8) -> order
     zig_src = np.zeros(64, np.int64)                          # z -> v*8+u
     for v in range(8):
         for u in range(8):
             zig_src[int(zz[v, u])] = v * 8 + u
-    qyt = qy[:h, :w].reshape(nby, 2, 8, nbx, 2, 8) \
-        .transpose(0, 3, 1, 4, 2, 5).reshape(nby, nbx, 4, 64)
-    qut = qc[:h // 2, :wc].reshape(nby, 8, nbx, 8) \
-        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 64)
-    qvt = qc[:h // 2, wc:2 * wc].reshape(nby, 8, nbx, 8) \
-        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 64)
-    q6 = jnp.concatenate([qyt, qut, qvt], axis=2)
-    quant_zig = jnp.take(q6, jnp.asarray(zig_src), axis=3)
+
+    def pack2(x, width):
+        x16 = x[:, :width] & 0xFFFF
+        return (x16[:, 0::2] | (x16[:, 1::2] << 16)).astype(jnp.int32)
+
+    py2 = pack2(qy[:h], w)                                    # (h, w/2)
+    pc2 = pack2(qc[:h // 2], 2 * wc)                          # (h/2, wc)
+    pyt = py2.reshape(nby, 16, nbx, 8).transpose(0, 2, 1, 3) \
+        .reshape(nby, nbx, 2, 8, 2, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(nby, nbx, 4, 32)
+    put = pc2[:, :wc // 2].reshape(nby, 8, nbx, 4) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 32)
+    pvt = pc2[:, wc // 2:].reshape(nby, 8, nbx, 4) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 1, 32)
+    p6 = jnp.concatenate([pyt, put, pvt], axis=2)             # packed pairs
+    q6 = jax.lax.bitcast_convert_type(p6, jnp.int16) \
+        .reshape(nby, nbx, 6, 64)
+    quant_zig = jnp.take(q6, jnp.asarray(zig_src), axis=3).astype(jnp.int32)
     return quant_zig, recon_y, recon_u, recon_v
 
 

@@ -80,10 +80,6 @@ def variant(name):
                              for p in TF._quant_planes(16 * gs, wp))
             iqc, rqc, dcc = (jnp.asarray(p)
                              for p in TF._quant_planes(8 * gs, wcp))
-            kvy = jnp.asarray(TF._blockdiag_dctm(16 * gs, False))
-            kvc = jnp.asarray(TF._blockdiag_dctm(8 * gs, False))
-            kh = jnp.asarray(TF._blockdiag_dctm(wp, True))
-
             def _const_spec(rows, cols):
                 return pl.BlockSpec((rows, cols), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -110,9 +106,6 @@ def variant(name):
                     _const_spec(8 * gs, wcp),
                     _const_spec(8 * gs, wcp),
                     _const_spec(8 * gs, wcp),
-                    _const_spec(16 * gs, 16 * gs),
-                    _const_spec(8 * gs, 8 * gs),
-                    _const_spec(wp, wp),
                 ],
                 out_specs=[
                     pl.BlockSpec((16 * gs, wp), lambda i: (i, 0),
@@ -132,8 +125,7 @@ def variant(name):
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=64 * 1024 * 1024),
-            )(cy, py, iy, cc, pc, ic, iqy, rqy, dcy, iqc, rqc, dcc,
-              kvy, kvc, kh)
+            )(cy, py, iy, cc, pc, ic, iqy, rqy, dcy, iqc, rqc, dcc)
             return qy.sum() + ry.sum() + qc.sum() + rc.sum()
         qzig, ry, ru, rv = TF.transform_recon_pallas(
             cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, inter, 2)
