@@ -377,12 +377,28 @@ class Encoder:
         zc = np.zeros((seq.height // 2, seq.width // 2), np.uint8)
         return (jnp.asarray(z), jnp.asarray(zc), jnp.asarray(zc))
 
+    def _check_frame_shape(self, y, seq) -> None:
+        """Reject frames that don't match the LATCHED sequence geometry with a
+        clear error (instead of an opaque scan carry-type mismatch).  The
+        latched size may be smaller than requested: SequenceConfig.validate
+        clamps to the EncoderConfig's max geometry like the RTL does
+        (RTL/mpeg2encoder.v:985-991)."""
+        if y.shape != (seq.height, seq.width):
+            hint = ""
+            mw, mh = self.config.max_width, self.config.max_height
+            if y.shape[0] > mh or y.shape[1] > mw:
+                hint = (f"; frame exceeds this EncoderConfig's max geometry "
+                        f"{mw}x{mh} (xl={self.config.xl}, yl={self.config.yl})"
+                        f" - the requested sequence size was clamped")
+            raise ValueError(
+                f"frame shape {y.shape} != latched sequence geometry "
+                f"{(seq.height, seq.width)}{hint}")
+
     def push_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
         """Feed one YUV 4:4:4 frame (uint8 (H, W) planes)."""
         t_start = time.perf_counter()
         seq = self._require_seq()
-        if y.shape != (seq.height, seq.width):
-            raise ValueError(f"frame shape {y.shape} != {(seq.height, seq.width)}")
+        self._check_frame_shape(y, seq)
         if self._prev is None:
             self._prev = self._zero_prev()
         kw = dict(yr=self.config.yr, ur=self.config.ur, q_level=self.config.q_level)
@@ -410,6 +426,8 @@ class Encoder:
                    ) -> None:
         """Feed several frames at once; encoded by one device-resident scan."""
         seq = self._require_seq()
+        for f in frames:
+            self._check_frame_shape(f[0], seq)
         if self._prev is None:
             self._prev = self._zero_prev()
         fy = jnp.asarray(np.stack([f[0] for f in frames]))

@@ -216,3 +216,30 @@ def test_cli_three_sequences_back_to_back(tmp_path, video_factory):
                                  SequenceConfig(w, h, 1), frames)
         got = open(tmp_path / f"out{i}.m2v", "rb").read()
         assert got == gold, f"sequence {i}"
+
+
+def test_oversized_frame_raises_clear_error(video_factory):
+    """A frame larger than the EncoderConfig's max geometry must fail with a
+    clear ValueError on BOTH push paths, not an opaque scan carry-type
+    mismatch deep inside push_chunk (found by the r05 GOP-scale soak: the
+    requested 1920x1152 sequence was silently clamped to the default config's
+    1024x1024 max, RTL-style, and the chunked scan then died on the carry
+    shape).  Matches RTL clamp semantics, RTL/mpeg2encoder.v:985-991."""
+    cfg = EncoderConfig(xl=4, yl=4)            # max 256x256
+    frames = video_factory(512, 272, 2)        # exceeds max -> seq clamped
+
+    enc = Encoder(cfg)
+    enc.start_sequence(SequenceConfig(512, 272, 2))
+    with pytest.raises(ValueError, match="max geometry"):
+        enc.push_chunk(frames)
+
+    enc2 = Encoder(cfg)
+    enc2.start_sequence(SequenceConfig(512, 272, 2))
+    with pytest.raises(ValueError, match="max geometry"):
+        enc2.push_frame(*frames[0])
+
+    # in-range mismatch (no clamp involved) still names the latched geometry
+    enc3 = Encoder(cfg)
+    enc3.start_sequence(SequenceConfig(64, 64, 2))
+    with pytest.raises(ValueError, match="latched sequence geometry"):
+        enc3.push_chunk(video_factory(128, 128, 1))

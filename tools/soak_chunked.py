@@ -47,7 +47,10 @@ def main():
 
     streams = []
     for ch in CHUNKS:
-        enc = Encoder(EncoderConfig(), row_cap=4096, frame_cap=262144)
+        xl = max(4, (W - 1).bit_length() - 4)     # 16 << xl >= W
+        yl = max(4, (H - 1).bit_length() - 4)
+        enc = Encoder(EncoderConfig(xl=xl, yl=yl), row_cap=4096,
+                      frame_cap=262144)
         t0 = time.perf_counter()
         b = enc.encode(frames, W, H, pframes_count=PFRAMES, chunk_frames=ch)
         dt = time.perf_counter() - t0
